@@ -1,0 +1,241 @@
+"""ctypes bindings over the native rANS core (``csrc/rans_coder.cpp``).
+
+All array arguments are passed as contiguous NumPy buffers — no Python list
+round-trips (the reference's main host-side bottleneck, see
+`compressai/entropy_models/entropy_models.py:227-238`).
+
+CDF tables are 2-D int32 arrays of shape [rows, max_len]; per-row valid
+lengths come from `cdf_lengths`, and `offsets` holds the per-row symbol
+offset. These have identical semantics to the reference coder's arguments.
+"""
+
+import ctypes
+
+import numpy as np
+
+from ._build import build_library
+
+_lib = ctypes.CDLL(build_library())
+
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+_f32p = ctypes.POINTER(ctypes.c_float)
+
+_lib.stf_encoder_new.restype = ctypes.c_void_p
+_lib.stf_encoder_free.argtypes = [ctypes.c_void_p]
+_lib.stf_encoder_buffer.argtypes = [
+    ctypes.c_void_p, _i32p, _i32p, ctypes.c_int64,
+    _i32p, ctypes.c_int64, _i32p, _i32p,
+]
+_lib.stf_encoder_flush.restype = ctypes.c_int64
+_lib.stf_encoder_flush.argtypes = [ctypes.c_void_p, _u8p, ctypes.c_int64]
+_lib.stf_encoder_bound.restype = ctypes.c_int64
+_lib.stf_encoder_bound.argtypes = [ctypes.c_void_p]
+
+_lib.stf_encode_with_indexes.restype = ctypes.c_int64
+_lib.stf_encode_with_indexes.argtypes = [
+    _i32p, _i32p, ctypes.c_int64,
+    _i32p, ctypes.c_int64, _i32p, _i32p,
+    _u8p, ctypes.c_int64,
+]
+
+_lib.stf_decode_with_indexes.restype = ctypes.c_int64
+_lib.stf_decode_with_indexes.argtypes = [
+    _u8p, ctypes.c_int64, _i32p, ctypes.c_int64,
+    _i32p, ctypes.c_int64, _i32p, _i32p, _i32p,
+]
+
+_lib.stf_decoder_new.restype = ctypes.c_void_p
+_lib.stf_decoder_free.argtypes = [ctypes.c_void_p]
+_lib.stf_decoder_set_stream.restype = ctypes.c_int32
+_lib.stf_decoder_set_stream.argtypes = [ctypes.c_void_p, _u8p, ctypes.c_int64]
+_lib.stf_decoder_decode_stream.restype = ctypes.c_int64
+_lib.stf_decoder_decode_stream.argtypes = [
+    ctypes.c_void_p, _i32p, ctypes.c_int64,
+    _i32p, ctypes.c_int64, _i32p, _i32p, _i32p,
+]
+
+_lib.stf_pmf_to_quantized_cdf.restype = ctypes.c_int32
+_lib.stf_pmf_to_quantized_cdf.argtypes = [
+    _f32p, ctypes.c_int64, ctypes.c_int32, _u32p,
+]
+_lib.stf_pmf_to_quantized_cdf_rows.restype = ctypes.c_int32
+_lib.stf_pmf_to_quantized_cdf_rows.argtypes = [
+    _f32p, ctypes.c_int64, _f32p, _i32p, ctypes.c_int64,
+    ctypes.c_int32, _i32p, ctypes.c_int64,
+]
+
+
+def _as_i32(a):
+    return np.ascontiguousarray(np.asarray(a).reshape(-1), dtype=np.int32)
+
+
+def _as_cdf_table(cdfs):
+    arr = np.ascontiguousarray(np.asarray(cdfs), dtype=np.int32)
+    if arr.ndim != 2:
+        raise ValueError(f"CDF table must be 2-D, got shape {arr.shape}")
+    return arr
+
+
+def _i32_ptr(a):
+    return a.ctypes.data_as(_i32p)
+
+
+class BufferedRansEncoder:
+    """Accumulates symbols across calls, then encodes them all in one flush.
+
+    Matches the reference's buffered encoder protocol
+    (`rans_interface.cpp:99-191`): models buffer all channel-AR slices'
+    symbols and flush once so the whole latent shares one rANS stream.
+    """
+
+    def __init__(self):
+        self._handle = _lib.stf_encoder_new()
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            _lib.stf_encoder_free(self._handle)
+            self._handle = None
+
+    def encode_with_indexes(self, symbols, indexes, cdfs, cdf_lengths, offsets):
+        symbols = _as_i32(symbols)
+        indexes = _as_i32(indexes)
+        if symbols.size != indexes.size:
+            raise ValueError("symbols and indexes must have the same length")
+        cdfs = _as_cdf_table(cdfs)
+        cdf_lengths = _as_i32(cdf_lengths)
+        offsets = _as_i32(offsets)
+        if indexes.size and (
+            indexes.min() < 0 or indexes.max() >= cdfs.shape[0]
+        ):
+            raise ValueError("index out of range of the CDF table")
+        _lib.stf_encoder_buffer(
+            self._handle,
+            _i32_ptr(symbols), _i32_ptr(indexes), symbols.size,
+            _i32_ptr(cdfs), cdfs.shape[1], _i32_ptr(cdf_lengths),
+            _i32_ptr(offsets),
+        )
+
+    def flush(self) -> bytes:
+        cap = _lib.stf_encoder_bound(self._handle)
+        out = np.empty(max(cap, 8), dtype=np.uint8)
+        n = _lib.stf_encoder_flush(self._handle, out.ctypes.data_as(_u8p), out.size)
+        if n < 0:
+            raise RuntimeError("rANS flush failed (buffer too small)")
+        return out[:n].tobytes()
+
+
+class RansEncoder:
+    """One-shot encoder: buffer + flush in a single call."""
+
+    def encode_with_indexes(
+        self, symbols, indexes, cdfs, cdf_lengths, offsets
+    ) -> bytes:
+        enc = BufferedRansEncoder()
+        enc.encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets)
+        return enc.flush()
+
+
+class RansDecoder:
+    """Stateless (`decode_with_indexes`) and streaming (`set_stream` +
+    `decode_stream`) decoding; the streaming form drives autoregressive
+    slice-by-slice decode."""
+
+    def __init__(self):
+        self._handle = _lib.stf_decoder_new()
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            _lib.stf_decoder_free(self._handle)
+            self._handle = None
+
+    def decode_with_indexes(
+        self, stream: bytes, indexes, cdfs, cdf_lengths, offsets
+    ) -> np.ndarray:
+        indexes = _as_i32(indexes)
+        cdfs = _as_cdf_table(cdfs)
+        cdf_lengths = _as_i32(cdf_lengths)
+        offsets = _as_i32(offsets)
+        buf = np.frombuffer(stream, dtype=np.uint8)
+        out = np.empty(indexes.size, dtype=np.int32)
+        n = _lib.stf_decode_with_indexes(
+            buf.ctypes.data_as(_u8p), buf.size,
+            _i32_ptr(indexes), indexes.size,
+            _i32_ptr(cdfs), cdfs.shape[1], _i32_ptr(cdf_lengths),
+            _i32_ptr(offsets), _i32_ptr(out),
+        )
+        if n < 0:
+            raise RuntimeError("invalid rANS stream")
+        return out
+
+    def set_stream(self, stream: bytes) -> None:
+        buf = np.frombuffer(stream, dtype=np.uint8)
+        rc = _lib.stf_decoder_set_stream(
+            self._handle, buf.ctypes.data_as(_u8p), buf.size
+        )
+        if rc != 0:
+            raise RuntimeError("invalid rANS stream")
+
+    def decode_stream(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
+        indexes = _as_i32(indexes)
+        cdfs = _as_cdf_table(cdfs)
+        cdf_lengths = _as_i32(cdf_lengths)
+        offsets = _as_i32(offsets)
+        out = np.empty(indexes.size, dtype=np.int32)
+        n = _lib.stf_decoder_decode_stream(
+            self._handle,
+            _i32_ptr(indexes), indexes.size,
+            _i32_ptr(cdfs), cdfs.shape[1], _i32_ptr(cdf_lengths),
+            _i32_ptr(offsets), _i32_ptr(out),
+        )
+        if n < 0:
+            raise RuntimeError("decode_stream called before set_stream")
+        return out
+
+
+def pmf_to_quantized_cdf(pmf, precision: int = 16) -> np.ndarray:
+    """Quantize one PMF to an integer CDF (n+1 entries summing to 2^precision,
+    strictly increasing)."""
+    pmf = np.ascontiguousarray(np.asarray(pmf).reshape(-1), dtype=np.float32)
+    out = np.empty(pmf.size + 1, dtype=np.uint32)
+    rc = _lib.stf_pmf_to_quantized_cdf(
+        pmf.ctypes.data_as(_f32p), pmf.size, precision,
+        out.ctypes.data_as(_u32p),
+    )
+    if rc != 0:
+        raise RuntimeError("pmf_to_quantized_cdf failed")
+    return out.astype(np.int32)
+
+
+def pmf_to_quantized_cdf_rows(
+    pmf, tail_mass, pmf_lengths, precision: int = 16
+) -> np.ndarray:
+    """Batched CDF build: `pmf` is [rows, max_pmf_len]; row i uses its first
+    `pmf_lengths[i]` entries plus `tail_mass[i]` as a final bypass symbol.
+    Returns an int32 table [rows, max_pmf_len + 2] (rows padded with zeros).
+
+    Replaces the reference's per-channel Python loop
+    (`entropy_models.py:172-180`) with one native call.
+    """
+    pmf = np.ascontiguousarray(np.asarray(pmf), dtype=np.float32)
+    if pmf.ndim != 2:
+        raise ValueError("pmf must be 2-D [rows, max_len]")
+    tail_mass = np.ascontiguousarray(
+        np.asarray(tail_mass).reshape(-1), dtype=np.float32
+    )
+    pmf_lengths = _as_i32(pmf_lengths)
+    rows = pmf.shape[0]
+    if tail_mass.size != rows or pmf_lengths.size != rows:
+        raise ValueError("tail_mass / pmf_lengths must have one entry per row")
+    if pmf_lengths.size and pmf_lengths.max() > pmf.shape[1]:
+        raise ValueError("pmf_lengths exceed the PMF row width")
+    out = np.zeros((rows, pmf.shape[1] + 2), dtype=np.int32)
+    rc = _lib.stf_pmf_to_quantized_cdf_rows(
+        pmf.ctypes.data_as(_f32p), pmf.shape[1],
+        tail_mass.ctypes.data_as(_f32p), _i32_ptr(pmf_lengths), rows,
+        precision, _i32_ptr(out), out.shape[1],
+    )
+    if rc != 0:
+        raise RuntimeError("pmf_to_quantized_cdf_rows failed")
+    return out
