@@ -1,0 +1,211 @@
+"""Shifted-window multi-head attention on NHWC feature maps.
+
+Functional rebuild of the reference's Swin-style blocks
+(`compressai/layers/win_attention.py`): window partition/reverse as pure
+reshapes, W-MSA with a learned relative-position-bias table, SW-MSA via
+cyclic roll + additive mask. Unlike the reference there are no NCHW<->NHWC
+permutes — everything stays NHWC, and window batches land as one big batched
+matmul on the MXU.
+
+Shapes are static under jit, so the shifted-window mask is precomputed with
+NumPy at trace time (it depends only on H, W, window_size, shift_size).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .conv import Conv, conv1x1, conv3x3, gelu
+
+
+def window_partition(x, window_size: int):
+    """(B, H, W, C) -> (B * H/ws * W/ws, ws*ws, C)."""
+    B, H, W, C = x.shape
+    ws = window_size
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, C)
+
+
+def window_reverse(windows, window_size: int, H: int, W: int):
+    """(B*nW, ws*ws, C) -> (B, H, W, C)."""
+    ws = window_size
+    B = windows.shape[0] // (H * W // ws // ws)
+    x = windows.reshape(B, H // ws, W // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, -1)
+
+
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Static pairwise relative-position index table (wh*ww, wh*ww).
+
+    Same indexing scheme as the reference (`win_attention.py:59-74`): the
+    2-D relative coordinate (dh, dw) in [-(wh-1), wh-1] x [-(ww-1), ww-1] is
+    flattened as (dh + wh - 1) * (2*ww - 1) + (dw + ww - 1).
+    """
+    coords = np.stack(
+        np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
+    )  # (2, wh, ww)
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)
+
+
+def shifted_window_mask(H: int, W: int, window_size: int, shift_size: int):
+    """Additive (0 / -100) attention mask for SW-MSA, shape (nW, N, N).
+
+    Built exactly as the reference does on the fly (`win_attention.py:159-
+    179`), but with NumPy at trace time since H/W are static under jit.
+    """
+    img_mask = np.zeros((1, H, W, 1), np.float32)
+    slices = (
+        slice(0, -window_size),
+        slice(-window_size, -shift_size),
+        slice(-shift_size, None),
+    )
+    cnt = 0
+    for h in slices:
+        for w in slices:
+            img_mask[:, h, w, :] = cnt
+            cnt += 1
+    ws = window_size
+    mw = img_mask.reshape(1, H // ws, ws, W // ws, ws, 1)
+    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
+    attn_mask = mw[:, None, :] - mw[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA over already-partitioned windows: x is (B*nW, N, C)."""
+
+    dim: int
+    window_size: tuple  # (wh, ww)
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: float = None
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        B_, N, C = x.shape
+        nh = self.num_heads
+        head_dim = self.dim // nh
+        scale = self.qk_scale or head_dim ** -0.5
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(B_, N, 3, nh, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
+
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32
+        )
+
+        wh, ww = self.window_size
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * wh - 1) * (2 * ww - 1), nh),
+        )
+        idx = relative_position_index(wh, ww).reshape(-1)
+        rel_bias = bias_table[idx].reshape(wh * ww, wh * ww, nh)
+        attn = attn + rel_bias.transpose(2, 0, 1)[None]
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, nh, N, N) + jnp.asarray(mask)[
+                None, :, None
+            ]
+            attn = attn.reshape(B_, nh, N, N)
+        attn = jax.nn.softmax(attn, axis=-1)
+
+        x = jnp.einsum(
+            "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
+        )
+        x = x.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        return nn.Dense(self.dim, name="proj")(x)
+
+
+class WinBasedAttention(nn.Module):
+    """Standalone (S)W-MSA residual block on NHWC maps
+    (`win_attention.py:118-207`). H and W must be multiples of window_size."""
+
+    dim: int
+    num_heads: int = 8
+    window_size: int = 8
+    shift_size: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        ws, ss = self.window_size, self.shift_size
+        assert 0 <= ss < ws, "shift_size must be in [0, window_size)"
+        shortcut = x
+
+        if ss > 0:
+            mask = shifted_window_mask(H, W, ws, ss)
+            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+        else:
+            mask = None
+
+        x_windows = window_partition(x, ws)
+        attn_windows = WindowAttention(
+            dim=self.dim,
+            window_size=(ws, ws),
+            num_heads=self.num_heads,
+            name="attn",
+        )(x_windows, mask=mask)
+        x = window_reverse(attn_windows, ws, H, W)
+
+        if ss > 0:
+            x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
+        return shortcut + x
+
+
+class ResidualUnit(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck with GELUs (`layers.py:52-71`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = conv1x1(self.dim // 2)(x)
+        out = gelu(out)
+        out = conv3x3(self.dim // 2)(out)
+        out = gelu(out)
+        out = conv1x1(self.dim)(out)
+        return gelu(out + identity)
+
+
+class Win_noShift_Attention(nn.Module):
+    """CNN-codec attention block (`layers.py:45-89`): trunk a(x) gated by
+    sigmoid of an attention branch b(x), plus identity."""
+
+    dim: int
+    num_heads: int = 8
+    window_size: int = 8
+    shift_size: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        a = x
+        for i in range(3):
+            a = ResidualUnit(self.dim, name=f"res_a{i}")(a)
+
+        b = WinBasedAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=self.window_size,
+            shift_size=self.shift_size,
+            name="win_attn",
+        )(x)
+        for i in range(3):
+            b = ResidualUnit(self.dim, name=f"res_b{i}")(b)
+        b = conv1x1(self.dim, name="proj")(b)
+
+        return a * jax.nn.sigmoid(b) + identity
