@@ -1,0 +1,66 @@
+"""Benchmark: enc+dec throughput on Kodak-sized images, single TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+Baseline (BASELINE.md): reference WACNN on a CUDA GPU takes 0.12 s encode +
+0.12 s decode per Kodak image => 1 / 0.24 = 4.167 images/sec end-to-end.
+Kodak images are 768x512; without network egress the bench uses synthetic
+images at that exact resolution (timing is content-independent: the
+transforms are fixed-shape and the rANS coder is ~linear in symbol count
+with data-dependent constants small next to the transforms).
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_SEC_PER_IMG = 0.12 + 0.12  # CNN enc + dec, README.md:85
+
+
+def main():
+    import jax
+
+    from stf_tpu.models import Codec, WACNN
+    from stf_tpu.training import create_train_state
+
+    model = WACNN()  # full-size flagship: N=192, M=320, 10 slices
+    state = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 256, 256, 3)
+    )
+    codec = Codec(model, state.params)
+
+    rng = np.random.default_rng(0)
+    n_images = 24  # Kodak size
+    images = [
+        rng.random((1, 512, 768, 3)).astype(np.float32) for _ in range(n_images)
+    ]
+
+    # warm-up: compile every program in the enc+dec path
+    out = codec.compress(images[0])
+    codec.decompress(out["strings"], out["shape"])
+
+    start = time.time()
+    for x in images:
+        out_enc = codec.compress(x)
+        out_dec = codec.decompress(out_enc["strings"], out_enc["shape"])
+    jax.block_until_ready(out_dec["x_hat"])
+    elapsed = time.time() - start
+
+    images_per_sec = n_images / elapsed
+    baseline_ips = 1.0 / REFERENCE_SEC_PER_IMG
+    print(
+        json.dumps(
+            {
+                "metric": "kodak_enc_dec_throughput_cnn",
+                "value": round(images_per_sec, 4),
+                "unit": "images/sec",
+                "vs_baseline": round(images_per_sec / baseline_ips, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

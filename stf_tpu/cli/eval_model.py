@@ -1,0 +1,222 @@
+"""Evaluate a codec end-to-end on an image directory.
+
+Drop-in analog of the reference CLI
+(`compressai/utils/eval_model/__main__.py`): pads each image to a multiple
+of 64, runs real compress/decompress (or --entropy-estimation for
+theoretical bpp), and reports averaged PSNR / MS-SSIM / bpp / enc / dec
+times as a JSON blob.
+
+Usage:
+    python -m stf_tpu.cli.eval_model -a cnn -p ckpt.msgpack -d /path/kodak
+
+TPU notes: images of the same padded shape share one compiled program;
+enc/dec times are measured after a warm-up pass per shape bucket so
+compilation is not billed to the codec (use --include-compile to bill it).
+"""
+
+import argparse
+import collections
+import json
+import math
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import stf_tpu
+from ..datasets import load_image
+from ..models import Codec
+from ..utils.metrics import ms_ssim
+from ..zoo import load_checkpoint
+
+IMG_EXTENSIONS = (
+    ".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif", ".tiff", ".webp",
+)
+
+
+def collect_images(rootpath):
+    return sorted(
+        os.path.join(rootpath, f)
+        for f in os.listdir(rootpath)
+        if os.path.splitext(f)[-1].lower() in IMG_EXTENSIONS
+    )
+
+
+def pad_to_multiple(x: np.ndarray, p: int = 64):
+    """Zero-pad NHWC to the next multiple of p, centered (reference
+    `__main__.py:88-101`)."""
+    h, w = x.shape[1:3]
+    new_h = (h + p - 1) // p * p
+    new_w = (w + p - 1) // p * p
+    left = (new_w - w) // 2
+    top = (new_h - h) // 2
+    pads = (
+        (0, 0),
+        (top, new_h - h - top),
+        (left, new_w - w - left),
+        (0, 0),
+    )
+    return np.pad(x, pads), (top, left, h, w)
+
+
+def unpad(x: np.ndarray, box):
+    top, left, h, w = box
+    return x[:, top : top + h, left : left + w, :]
+
+
+def inference(codec: Codec, x: np.ndarray, warm_shapes: set):
+    x_padded, box = pad_to_multiple(x)
+
+    if x_padded.shape not in warm_shapes:
+        # Warm-up: compile all shape-specialized programs outside the timer.
+        out_enc = codec.compress(x_padded)
+        codec.decompress(out_enc["strings"], out_enc["shape"])
+        warm_shapes.add(x_padded.shape)
+
+    start = time.time()
+    out_enc = codec.compress(x_padded)
+    enc_time = time.time() - start
+
+    start = time.time()
+    out_dec = codec.decompress(out_enc["strings"], out_enc["shape"])
+    dec_time = time.time() - start
+
+    x_hat = unpad(np.asarray(out_dec["x_hat"]), box)
+    num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
+    bpp = sum(len(s[0]) for s in out_enc["strings"]) * 8.0 / num_pixels
+    mse = float(np.mean((x - x_hat) ** 2))
+    return {
+        "psnr": -10 * math.log10(mse),
+        "ms-ssim": float(ms_ssim(jnp.asarray(x), jnp.asarray(x_hat))),
+        "bpp": bpp,
+        "encoding_time": enc_time,
+        "decoding_time": dec_time,
+    }, x_hat
+
+
+def inference_entropy_estimation(model, params, x: np.ndarray, apply_jit):
+    x_padded, box = pad_to_multiple(x)
+    start = time.time()
+    out = apply_jit(params, jnp.asarray(x_padded))
+    jax.block_until_ready(out)
+    elapsed = time.time() - start
+
+    num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
+    bpp = sum(
+        float(jnp.sum(jnp.log(lik)) / (-math.log(2) * num_pixels))
+        for lik in out["likelihoods"].values()
+    )
+    x_hat = unpad(np.clip(np.asarray(out["x_hat"]), 0, 1), box)
+    mse = float(np.mean((x - x_hat) ** 2))
+    return {
+        "psnr": -10 * math.log10(mse),
+        "bpp": bpp,
+        "encoding_time": elapsed / 2.0,
+        "decoding_time": elapsed / 2.0,
+    }, x_hat
+
+
+def eval_model(
+    model,
+    params,
+    filepaths,
+    entropy_estimation=False,
+    recon_path="reconstruction",
+    verbose=False,
+):
+    metrics = collections.defaultdict(float)
+    codec = None if entropy_estimation else Codec(model, params)
+    apply_jit = (
+        jax.jit(
+            lambda p, x: model.apply({"params": p}, x, training=False)
+        )
+        if entropy_estimation
+        else None
+    )
+    warm_shapes: set = set()
+    os.makedirs(recon_path, exist_ok=True)
+
+    for f in filepaths:
+        if verbose:
+            print(f, file=sys.stderr)
+        x = load_image(f)[None]  # (1, H, W, 3)
+        if entropy_estimation:
+            rv, x_hat = inference_entropy_estimation(model, params, x, apply_jit)
+        else:
+            rv, x_hat = inference(codec, x, warm_shapes)
+        try:
+            from PIL import Image
+
+            Image.fromarray(
+                (np.clip(x_hat[0], 0, 1) * 255 + 0.5).astype(np.uint8)
+            ).save(os.path.join(recon_path, os.path.basename(f)))
+        except Exception:
+            pass
+        for k, v in rv.items():
+            metrics[k] += v
+
+    return {k: v / len(filepaths) for k, v in metrics.items()}
+
+
+def setup_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-d", "--dataset", type=str, required=True)
+    p.add_argument("-r", "--recon_path", type=str, default="reconstruction")
+    p.add_argument("-a", "--architecture", type=str, required=True)
+    p.add_argument(
+        "-c",
+        "--entropy-coder",
+        choices=stf_tpu.available_entropy_coders(),
+        default=stf_tpu.available_entropy_coders()[0],
+    )
+    p.add_argument("--entropy-estimation", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument(
+        "-p", "--path", dest="paths", type=str, nargs="*", required=True
+    )
+    return p
+
+
+def main(argv=None):
+    args = setup_args().parse_args(argv)
+    filepaths = collect_images(args.dataset)
+    if not filepaths:
+        print("Error: no images found in directory.", file=sys.stderr)
+        sys.exit(1)
+
+    stf_tpu.set_entropy_coder(args.entropy_coder)
+
+    results = collections.defaultdict(list)
+    for run in args.paths:
+        model, params = load_checkpoint(run, args.architecture)
+        metrics = eval_model(
+            model,
+            params,
+            filepaths,
+            args.entropy_estimation,
+            args.recon_path,
+            args.verbose,
+        )
+        for k, v in metrics.items():
+            results[k].append(v)
+
+    description = (
+        "entropy estimation" if args.entropy_estimation else args.entropy_coder
+    )
+    print(
+        json.dumps(
+            {
+                "name": args.architecture,
+                "description": f"Inference ({description})",
+                "results": dict(results),
+            },
+            indent=2,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -75,21 +75,25 @@ class ConvTranspose(nn.Module):
         )(x)
 
 
-class PixelShuffle(nn.Module):
+def pixel_shuffle(x, r: int):
     """Depth-to-space with torch PixelShuffle's channel ordering:
     channel index c*r² + i*r + j maps to spatial offset (i, j)."""
+    B, H, W, C = x.shape
+    assert C % (r * r) == 0, f"channels {C} not divisible by r²={r * r}"
+    c_out = C // (r * r)
+    x = x.reshape(B, H, W, c_out, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(B, H * r, W * r, c_out)
+
+
+class PixelShuffle(nn.Module):
+    """Module wrapper over `pixel_shuffle` (param-free)."""
 
     r: int
 
     @nn.compact
     def __call__(self, x):
-        B, H, W, C = x.shape
-        r = self.r
-        assert C % (r * r) == 0, f"channels {C} not divisible by r²={r * r}"
-        c_out = C // (r * r)
-        x = x.reshape(B, H, W, c_out, r, r)
-        x = x.transpose(0, 1, 4, 2, 5, 3)
-        return x.reshape(B, H * r, W * r, c_out)
+        return pixel_shuffle(x, self.r)
 
 
 def conv3x3(features: int, stride: int = 1, name=None) -> nn.Module:

@@ -1,0 +1,181 @@
+"""Host-side codec runner: real bitstream compress/decompress.
+
+Splits the work the TPU-native way:
+  * device (jit): transforms, context models, quantization, scale-table
+    indexes
+  * host: rANS entropy coding (inherently sequential/branchy — wrong for the
+    MXU, cheap on CPU), overlapped with device compute across images by the
+    batched eval driver.
+
+Correctness invariant — lockstep coding: the encoder drives the *same*
+compiled per-slice programs the decoder will run (`decode_slice_indexes` /
+`decode_slice_apply`), so every mu/scale/index is bit-identical on both
+sides. This is required, not an optimization: the channel-AR design feeds
+decoded slices back into the context transforms, and any float divergence
+between encoder and decoder programs could flip a scale-table index and
+desynchronize the rANS stream. (The reference gets this implicitly by
+running the identical torch modules in compress() and decompress(),
+`compressai/models/cnn.py:210-332`.)
+
+Equivalent surface to the reference's `model.update()` / `model.compress()`
+/ `model.decompress()` protocol.
+"""
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ans import BufferedRansEncoder, RansDecoder
+from ..entropy import (
+    EntropyBottleneckCoder,
+    GaussianConditionalCoder,
+    build_eb_tables,
+    build_gc_tables,
+    get_scale_table,
+)
+
+
+class Codec:
+    """Wraps (model, params) with CDF tables and jitted coding-path fns."""
+
+    def __init__(self, model, params, scale_table: Optional[np.ndarray] = None):
+        self.model = model
+        self.params = params
+        self.scale_table = (
+            np.asarray(scale_table, np.float32)
+            if scale_table is not None
+            else get_scale_table()
+        )
+        self.update()
+
+        self._analyze = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, method="analyze")
+        )
+        self._hyper = jax.jit(
+            lambda p, z_hat, y_shape: model.apply(
+                {"params": p}, z_hat, y_shape, method="hyper_synthesize"
+            ),
+            static_argnums=(2,),
+        )
+        self._slice_idx = jax.jit(
+            lambda p, i, lm, ls, support: model.apply(
+                {"params": p},
+                i,
+                lm,
+                ls,
+                support,
+                jnp.asarray(self.scale_table),
+                method="decode_slice_indexes",
+            ),
+            static_argnums=(1,),
+        )
+        self._slice_apply = jax.jit(
+            lambda p, i, lm, support, mu, rv: model.apply(
+                {"params": p}, i, lm, support, mu, rv,
+                method="decode_slice_apply",
+            ),
+            static_argnums=(1,),
+        )
+        self._quantize = jax.jit(lambda y_slice, mu: jnp.round(y_slice - mu).astype(jnp.int32))
+        self._synth = jax.jit(
+            lambda p, y_hat: model.apply({"params": p}, y_hat, method="synthesize")
+        )
+
+    # -- table refresh (reference `update()`) --------------------------------
+
+    def update(self, scale_table: Optional[np.ndarray] = None, force: bool = True):
+        if scale_table is not None:
+            self.scale_table = np.asarray(scale_table, np.float32)
+        eb_params = self.params["entropy_bottleneck"]
+        self.eb_coder = EntropyBottleneckCoder(
+            build_eb_tables(eb_params),
+            np.asarray(eb_params["quantiles"])[:, 0, 1],
+        )
+        self.gc_coder = GaussianConditionalCoder(
+            build_gc_tables(self.scale_table), self.scale_table
+        )
+        return True
+
+    # -- shared per-slice walk ------------------------------------------------
+
+    def _walk_slices(self, latent_means, latent_scales, get_symbols):
+        """Run the channel-AR slice chain. `get_symbols(i, mu, idx)` returns
+        the int32 symbols for slice i — from quantization (encoder) or from
+        the rANS stream (decoder). Returns the list of y_hat slices."""
+        y_hat_slices: List = []
+        k = self.model.max_support_slices
+        for i in range(self.model.num_slices):
+            support = tuple(y_hat_slices if k < 0 else y_hat_slices[:k])
+            mu, idx = self._slice_idx(
+                self.params, i, latent_means, latent_scales, support
+            )
+            rv = get_symbols(i, mu, idx)
+            y_hat_slices.append(
+                self._slice_apply(
+                    self.params, i, latent_means, support, mu, rv
+                )
+            )
+        return y_hat_slices
+
+    # -- compress ------------------------------------------------------------
+
+    def compress(self, x) -> Dict[str, Any]:
+        """x: NHWC float array in [0,1]. Returns strings + z spatial shape."""
+        y, z = self._analyze(self.params, jnp.asarray(x))
+        z_np = np.asarray(z)
+
+        z_strings = self.eb_coder.compress(z_np)
+        # Reconstruct z_hat exactly as the decoder will (round + medians).
+        z_hat = jnp.asarray(self.eb_coder.decompress(z_strings, z_np.shape[1:3]))
+
+        y_shape = (y.shape[1], y.shape[2])
+        latent_means, latent_scales = self._hyper(self.params, z_hat, y_shape)
+        y_slices = jnp.split(y, self.model.num_slices, axis=-1)
+
+        cdf, lengths, offsets = self.gc_coder.tables.astuple()
+        encoder = BufferedRansEncoder()
+
+        def get_symbols(i, mu, idx):
+            q = self._quantize(y_slices[i], mu)
+            encoder.encode_with_indexes(
+                np.asarray(q).reshape(-1),
+                np.asarray(idx).reshape(-1),
+                cdf,
+                lengths,
+                offsets,
+            )
+            return q
+
+        self._walk_slices(latent_means, latent_scales, get_symbols)
+        y_string = encoder.flush()
+
+        return {
+            "strings": [[y_string], z_strings],
+            "shape": tuple(z_np.shape[1:3]),
+        }
+
+    # -- decompress ----------------------------------------------------------
+
+    def decompress(self, strings: Sequence, shape) -> Dict[str, Any]:
+        y_strings, z_strings = strings[0], strings[1]
+        z_hat = jnp.asarray(self.eb_coder.decompress(z_strings, shape))
+        y_shape = (shape[0] * 4, shape[1] * 4)
+        latent_means, latent_scales = self._hyper(self.params, z_hat, y_shape)
+
+        cdf, lengths, offsets = self.gc_coder.tables.astuple()
+        decoder = RansDecoder()
+        decoder.set_stream(y_strings[0])
+
+        def get_symbols(i, mu, idx):
+            idx_np = np.asarray(idx)
+            rv = decoder.decode_stream(
+                idx_np.reshape(-1), cdf, lengths, offsets
+            )
+            return jnp.asarray(rv.reshape(idx_np.shape))
+
+        y_hat_slices = self._walk_slices(latent_means, latent_scales, get_symbols)
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = self._synth(self.params, y_hat)
+        return {"x_hat": x_hat}

@@ -1,0 +1,237 @@
+"""Rate-distortion training loop (the reference `train.py` rebuilt for TPU
+meshes).
+
+Recipe parity (reference `train.py:207-418`, BASELINE.md):
+  * Adam 1e-4 main / 1e-3 aux (quantiles), clip-norm 1.0
+  * lambda * 255² * MSE + bpp loss (or ms-ssim variant)
+  * 256x256 random crops, batch 16, MultiStepLR [320,345] gamma 0.1
+  * per-epoch eval, checkpoint with `_best` copy, resume support
+
+TPU-native runtime: one jitted SPMD step over a `data` mesh replaces
+DDP/NCCL; host-0 gating replaces rank gating; the dataset shards per
+process (DistributedSampler equivalent).
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="RD training (TPU)")
+    p.add_argument("-m", "--model", default="cnn", help="model architecture")
+    p.add_argument("-d", "--dataset", required=True, help="training dataset")
+    p.add_argument("-e", "--epochs", type=int, default=350)
+    p.add_argument("-lr", "--learning-rate", type=float, default=1e-4)
+    p.add_argument("-n", "--num-workers", type=int, default=8)
+    p.add_argument("--lambda", dest="lmbda", type=float, default=1e-2)
+    p.add_argument("--metric", choices=["mse", "ms-ssim"], default="mse")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--test-batch-size", type=int, default=16)
+    p.add_argument("--aux-learning-rate", type=float, default=1e-3)
+    p.add_argument("--patch-size", type=int, nargs=2, default=(256, 256))
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--clip_max_norm", type=float, default=1.0)
+    p.add_argument("--milestones", type=int, nargs="*", default=[320, 345])
+    p.add_argument("--lr-gamma", type=float, default=0.1)
+    p.add_argument("--save", action="store_true", default=True)
+    p.add_argument("--save-dir", type=str, default="./ckpt")
+    p.add_argument("--checkpoint", type=str, help="resume from checkpoint")
+    p.add_argument(
+        "--coordinator", type=str, default=None,
+        help="multi-host coordinator address (host:port); single-host if unset",
+    )
+    p.add_argument("--log-every", type=int, default=10)
+    return p.parse_args(argv)
+
+
+def save_training_checkpoint(save_dir, state, epoch, loss, args, is_best):
+    import jax
+    from flax import serialization
+
+    from ..zoo.checkpoint import save_checkpoint as save_params_ckpt
+
+    os.makedirs(save_dir, exist_ok=True)
+    blob = serialization.to_bytes(
+        {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    )
+    path = os.path.join(save_dir, "checkpoint.msgpack")
+    with open(path, "wb") as f:
+        f.write(blob)
+    meta = {"epoch": epoch, "loss": float(loss), "model": args.model,
+            "lmbda": args.lmbda, "metric": args.metric}
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+    # CLI-compatible params-only checkpoint
+    save_params_ckpt(
+        os.path.join(save_dir, "params.msgpack"), args.model, state.params
+    )
+    if is_best:
+        import shutil
+
+        shutil.copyfile(path, os.path.join(save_dir, "checkpoint_best.msgpack"))
+        shutil.copyfile(
+            path + ".json", os.path.join(save_dir, "checkpoint_best.msgpack.json")
+        )
+        save_params_ckpt(
+            os.path.join(save_dir, "params_best.msgpack"), args.model, state.params
+        )
+
+
+def restore_training_checkpoint(path, state):
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    restored = serialization.from_bytes(
+        {"params": state.params, "opt_state": state.opt_state, "step": state.step},
+        blob,
+    )
+    state = state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=int(restored["step"]),
+    )
+    meta = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..datasets import ImageFolder, prefetch_to_device
+    from ..parallel import (
+        create_mesh,
+        data_parallel_shardings,
+        is_main_process,
+        make_parallel_train_step,
+        process_count,
+        sync_global_devices,
+    )
+    from ..parallel.mesh import initialize_distributed
+    from ..training import create_train_state, make_train_step
+    from ..training.state import make_eval_step
+    from ..zoo import models
+
+    if args.coordinator:
+        initialize_distributed(args.coordinator)
+
+    mesh = create_mesh()
+    n_proc = process_count()
+    main_proc = is_main_process()
+    if main_proc:
+        print(f"devices: {mesh.devices.size} ({jax.devices()[0].platform}), "
+              f"processes: {n_proc}")
+
+    model = models[args.model]()
+    patch = tuple(args.patch_size)
+    train_ds = ImageFolder(args.dataset, "train", patch, seed=args.seed)
+    test_ds = ImageFolder(args.dataset, "test", patch, seed=args.seed)
+
+    local_batch = args.batch_size // n_proc
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    boundaries = {}
+    for m in args.milestones:
+        boundaries[m * steps_per_epoch] = args.lr_gamma
+    schedule = optax.piecewise_constant_schedule(args.learning_rate, boundaries)
+
+    state = create_train_state(
+        model,
+        jax.random.key(args.seed),
+        input_shape=(1,) + patch + (3,),
+        learning_rate=schedule,
+        aux_learning_rate=args.aux_learning_rate,
+        clip_max_norm=args.clip_max_norm,
+    )
+
+    last_epoch = 0
+    best_loss = float("inf")
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        state, meta = restore_training_checkpoint(args.checkpoint, state)
+        last_epoch = meta.get("epoch", 0) + 1
+        best_loss = meta.get("loss", best_loss)
+        if main_proc:
+            print(f"resumed from {args.checkpoint} at epoch {last_epoch}")
+
+    repl_sh, data_sh = data_parallel_shardings(mesh)
+    p_train_step = make_parallel_train_step(
+        make_train_step(model, args.lmbda, args.metric), mesh
+    )
+    p_eval_step = jax.jit(
+        make_eval_step(model, args.lmbda, args.metric),
+        in_shardings=(repl_sh, data_sh),
+        out_shardings=repl_sh,
+    )
+    rng = jax.random.key(args.seed + 1)
+
+    def put_global(batch):
+        if n_proc == 1:
+            return jax.device_put(batch, data_sh)
+        return jax.make_array_from_process_local_data(data_sh, batch)
+
+    for epoch in range(last_epoch, args.epochs):
+        t0 = time.time()
+        lr_now = schedule(int(state.step))
+        if main_proc:
+            print(f"Learning rate: {float(lr_now):.2e}")
+        it = train_ds.batches(
+            local_batch,
+            epoch=epoch,
+            num_workers=args.num_workers,
+            shard=(jax.process_index(), n_proc),
+        )
+        for i, batch in enumerate(map(put_global, it)):
+            state, metrics = p_train_step(state, batch, rng)
+            if main_proc and i % args.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print(
+                    f"Train epoch {epoch}: [{i * args.batch_size}/"
+                    f"{len(train_ds)}] "
+                    f"Loss: {m['loss']:.4f} | Distortion: {m['distortion']:.5f} | "
+                    f"Bpp: {m['bpp_loss']:.3f} | Aux: {m['aux_loss']:.1f}"
+                )
+
+        # per-epoch eval (all hosts compute; host 0 logs/saves)
+        totals, count = {}, 0
+        for batch in test_ds.batches(
+            local_batch, epoch=0, num_workers=args.num_workers,
+            shard=(jax.process_index(), n_proc),
+        ):
+            m = p_eval_step(state.params, put_global(batch))
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            count += 1
+        test_loss = totals.get("loss", float("inf")) / max(count, 1)
+        if main_proc:
+            print(
+                f"Test epoch {epoch}: loss {test_loss:.4f} "
+                f"(bpp {totals.get('bpp_loss', 0) / max(count, 1):.3f}) "
+                f"[{time.time() - t0:.1f}s]"
+            )
+
+        if args.save and main_proc:
+            is_best = test_loss < best_loss
+            best_loss = min(test_loss, best_loss)
+            save_training_checkpoint(
+                args.save_dir, state, epoch, test_loss, args, is_best
+            )
+        sync_global_devices("epoch")
+
+    return state
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

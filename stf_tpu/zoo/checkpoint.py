@@ -1,0 +1,56 @@
+"""Native checkpoint save/load (msgpack params + JSON config sidecar).
+
+Training checkpoints with full optimizer state use orbax (see
+stf_tpu/training/train.py); this module is the lightweight format for
+published/eval checkpoints — the analog of the reference's
+`state_dict`-only .pth.tar files.
+"""
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from .registry import models
+
+
+def save_checkpoint(
+    path: str, model_name: str, params, model_kwargs: Optional[dict] = None
+) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    meta = {"model": model_name, "kwargs": model_kwargs or {}}
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path: str, model_name: Optional[str] = None) -> Tuple[Any, Dict]:
+    """Returns (model, params). Model name/kwargs come from the sidecar
+    unless overridden."""
+    meta_path = path + ".json"
+    kwargs: Dict = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        model_name = model_name or meta["model"]
+        kwargs = meta.get("kwargs", {})
+    if model_name is None:
+        raise ValueError("model_name required (no sidecar found)")
+    model = models[model_name](**kwargs)
+
+    # Build a template param tree, then restore into it.
+    import jax.numpy as jnp
+
+    variables = model.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 256, 256, 3), jnp.float32),
+        training=False,
+    )
+    with open(path, "rb") as f:
+        params = serialization.from_bytes(variables["params"], f.read())
+    return model, params

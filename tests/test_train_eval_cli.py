@@ -1,0 +1,125 @@
+"""Smoke tests for the training loop and the eval CLI on a tiny synthetic
+dataset with a scaled-down model (CPU CI)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("ds")
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 6), ("test", 2)):
+        d = root / split
+        d.mkdir()
+        for i in range(n):
+            arr = (rng.random((80, 80, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def tiny_registry(request):
+    """Register a tiny model under a test-only name."""
+    from stf_tpu.models import WACNN
+    from stf_tpu.zoo import models
+
+    models["cnn_tiny_test"] = lambda **kw: WACNN(
+        N=16, M=24, num_slices=2, max_support_slices=1, **kw
+    )
+    request.addfinalizer(lambda: models.pop("cnn_tiny_test", None))
+    return "cnn_tiny_test"
+
+
+def test_train_two_epochs_and_resume(tiny_dataset, tiny_registry, tmp_path):
+    from stf_tpu.training.train import main
+
+    save_dir = str(tmp_path / "ckpt")
+    argv = [
+        "-m", tiny_registry,
+        "-d", tiny_dataset,
+        "-e", "2",
+        "--batch-size", "2",
+        "--test-batch-size", "2",
+        "--patch-size", "64", "64",
+        "--save-dir", save_dir,
+        "--num-workers", "2",
+    ]
+    state = main(argv)
+    assert int(state.step) == 2 * 3  # 6 imgs / batch 2 = 3 steps/epoch
+    assert os.path.exists(os.path.join(save_dir, "checkpoint.msgpack"))
+    assert os.path.exists(os.path.join(save_dir, "params.msgpack"))
+    assert os.path.exists(os.path.join(save_dir, "checkpoint_best.msgpack"))
+
+    # resume for one more epoch
+    state2 = main(
+        argv[:-2]
+        + ["--num-workers", "2", "-e", "3", "--checkpoint",
+           os.path.join(save_dir, "checkpoint.msgpack")]
+    )
+    assert int(state2.step) == 3 * 3
+
+
+def test_eval_cli(tiny_dataset, tiny_registry, tmp_path, capsys):
+    import jax
+
+    from stf_tpu.cli.eval_model import main as eval_main
+    from stf_tpu.training import create_train_state
+    from stf_tpu.zoo import models, save_checkpoint
+
+    model = models[tiny_registry]()
+    state = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+    )
+    ckpt = str(tmp_path / "m.msgpack")
+    save_checkpoint(ckpt, tiny_registry, state.params)
+
+    recon = str(tmp_path / "recon")
+    eval_main(
+        [
+            "-d", os.path.join(tiny_dataset, "test"),
+            "-a", tiny_registry,
+            "-p", ckpt,
+            "-r", recon,
+        ]
+    )
+    out = capsys.readouterr().out
+    result = json.loads(out)
+    r = result["results"]
+    assert "psnr" in r and "bpp" in r and "encoding_time" in r
+    assert r["bpp"][0] > 0
+    assert len(os.listdir(recon)) == 2
+
+
+def test_eval_cli_entropy_estimation(tiny_dataset, tiny_registry, tmp_path, capsys):
+    import jax
+
+    from stf_tpu.cli.eval_model import main as eval_main
+    from stf_tpu.training import create_train_state
+    from stf_tpu.zoo import models, save_checkpoint
+
+    model = models[tiny_registry]()
+    state = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+    )
+    ckpt = str(tmp_path / "m.msgpack")
+    save_checkpoint(ckpt, tiny_registry, state.params)
+
+    eval_main(
+        [
+            "-d", os.path.join(tiny_dataset, "test"),
+            "-a", tiny_registry,
+            "-p", ckpt,
+            "-r", str(tmp_path / "recon2"),
+            "--entropy-estimation",
+        ]
+    )
+    result = json.loads(capsys.readouterr().out)
+    assert result["description"] == "Inference (entropy estimation)"
+    assert result["results"]["bpp"][0] > 0
