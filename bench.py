@@ -33,18 +33,19 @@ def main():
 
     rng = np.random.default_rng(0)
     n_images = 24  # Kodak size
-    images = [
-        rng.random((1, 512, 768, 3)).astype(np.float32) for _ in range(n_images)
-    ]
+    # Throughput mode (SURVEY.md §7 build-plan #10): the channel-AR slice
+    # walk is batched across all images, so the per-slice program dispatches
+    # and host<->device transfers are paid once per *batch*, not per image;
+    # the host rANS coder runs while the device works on the next stage.
+    batch = rng.random((n_images, 512, 768, 3)).astype(np.float32)
 
     # warm-up: compile every program in the enc+dec path
-    out = codec.compress(images[0])
+    out = codec.compress(batch)
     codec.decompress(out["strings"], out["shape"])
 
     start = time.time()
-    for x in images:
-        out_enc = codec.compress(x)
-        out_dec = codec.decompress(out_enc["strings"], out_enc["shape"])
+    out_enc = codec.compress(batch)
+    out_dec = codec.decompress(out_enc["strings"], out_enc["shape"])
     jax.block_until_ready(out_dec["x_hat"])
     elapsed = time.time() - start
 

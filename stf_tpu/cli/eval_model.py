@@ -173,6 +173,12 @@ def setup_args():
         default=stf_tpu.available_entropy_coders()[0],
     )
     p.add_argument("--entropy-estimation", action="store_true")
+    p.add_argument(
+        "--profile-dir",
+        type=str,
+        default=None,
+        help="capture a jax.profiler trace of the eval into this directory",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument(
         "-p", "--path", dest="paths", type=str, nargs="*", required=True
@@ -189,19 +195,28 @@ def main(argv=None):
 
     stf_tpu.set_entropy_coder(args.entropy_coder)
 
+    import contextlib
+
+    profiler_ctx = (
+        jax.profiler.trace(args.profile_dir)
+        if args.profile_dir
+        else contextlib.nullcontext()
+    )
+
     results = collections.defaultdict(list)
-    for run in args.paths:
-        model, params = load_checkpoint(run, args.architecture)
-        metrics = eval_model(
-            model,
-            params,
-            filepaths,
-            args.entropy_estimation,
-            args.recon_path,
-            args.verbose,
-        )
-        for k, v in metrics.items():
-            results[k].append(v)
+    with profiler_ctx:
+        for run in args.paths:
+            model, params = load_checkpoint(run, args.architecture)
+            metrics = eval_model(
+                model,
+                params,
+                filepaths,
+                args.entropy_estimation,
+                args.recon_path,
+                args.verbose,
+            )
+            for k, v in metrics.items():
+                results[k].append(v)
 
     description = (
         "entropy estimation" if args.entropy_estimation else args.entropy_coder

@@ -280,6 +280,23 @@ def build_eb_tables(
     `EntropyBottleneck.update()` (`entropy_models.py:354-393`).
     """
     del tail_mass  # determined by the trained quantiles, kept for symmetry
+
+    # Pure NumPy evaluation of the logits-cumulative chain: table building is
+    # host-side work and must not dispatch to the accelerator.
+    def logits_cumulative(params, inputs):
+        n_stages = len([k for k in params if k.startswith("matrix_")])
+        logits = inputs
+        for i in range(n_stages):
+            m = np.asarray(params[f"matrix_{i}"], np.float32)
+            softplus = np.logaddexp(0.0, m)
+            logits = np.einsum("cij,cjn->cin", softplus, logits) + np.asarray(
+                params[f"bias_{i}"], np.float32
+            )
+            if i < n_stages - 1:
+                f = np.asarray(params[f"factor_{i}"], np.float32)
+                logits = logits + np.tanh(f) * np.tanh(logits)
+        return logits
+
     quantiles = np.asarray(eb_params["quantiles"], np.float32)
     medians = quantiles[:, 0, 1]
     minima = np.clip(np.ceil(medians - quantiles[:, 0, 0]), 0, None).astype(
@@ -299,13 +316,9 @@ def build_eb_tables(
         + pmf_start[:, None, None]
     )  # (C, 1, max_length)
 
-    params = {k: jnp.asarray(v) for k, v in eb_params.items() if k != "quantiles"}
-    lower = np.asarray(
-        eb_logits_cumulative(params, jnp.asarray(samples - 0.5), True)
-    )
-    upper = np.asarray(
-        eb_logits_cumulative(params, jnp.asarray(samples + 0.5), True)
-    )
+    params = {k: v for k, v in eb_params.items() if k != "quantiles"}
+    lower = logits_cumulative(params, (samples - 0.5).astype(np.float32))
+    upper = logits_cumulative(params, (samples + 0.5).astype(np.float32))
     sign = -np.sign(lower + upper)
     sigmoid = lambda v: 1.0 / (1.0 + np.exp(-v))  # noqa: E731
     pmf = np.abs(sigmoid(sign * upper) - sigmoid(sign * lower))[:, 0, :]
@@ -333,7 +346,9 @@ def build_gc_tables(
     s = scale_table[:, None]
 
     def phi(v):
-        return 0.5 * np.asarray(jax.scipy.special.erfc(-(2 ** -0.5) * jnp.asarray(v)))
+        from scipy.special import erfc
+
+        return 0.5 * erfc(-(2 ** -0.5) * np.asarray(v, np.float64))
 
     upper = phi((0.5 - samples) / s)
     lower = phi((-0.5 - samples) / s)

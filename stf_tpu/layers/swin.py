@@ -115,11 +115,13 @@ class SwinTransformerBlock(nn.Module):
 
 
 class PatchMerging(nn.Module):
-    """2x downsample: gather 2x2 neighborhoods -> LN(4C) -> Dense 2C, no
-    bias (`stf.py:202-235`). Pixel order (even,even),(odd,even),(even,odd),
-    (odd,odd) matches the reference for checkpoint import."""
+    """2x downsample: gather 2x2 neighborhoods -> LN(4C) -> Dense out, no
+    bias (`stf.py:202-235`; generalized out width per `tbc.py:203-237`).
+    Pixel order (even,even),(odd,even),(even,odd),(odd,odd) matches the
+    reference for checkpoint import. Default out = 2*dim (Swin standard)."""
 
     dim: int
+    out_features: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
@@ -132,19 +134,23 @@ class PatchMerging(nn.Module):
         x3 = x[:, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+        out = self.out_features if self.out_features is not None else 2 * self.dim
+        return nn.Dense(out, use_bias=False, name="reduction")(x)
 
 
 class PatchSplit(nn.Module):
-    """2x upsample: LN -> Dense 2C (no bias) -> depth-to-space, torch
-    PixelShuffle channel order (`stf.py:238-260`)."""
+    """2x upsample: LN -> Dense 4*out (no bias) -> depth-to-space, torch
+    PixelShuffle channel order (`stf.py:238-260`; generalized out width per
+    `tbc.py:240-263`). Default out = dim // 2 (STF's symmetric split)."""
 
     dim: int
+    out_features: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
+        out = self.out_features if self.out_features is not None else self.dim // 2
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-        x = nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+        x = nn.Dense(4 * out, use_bias=False, name="reduction")(x)
         return PixelShuffle(2)(x)
 
 
@@ -170,6 +176,65 @@ class PatchEmbed(nn.Module):
         if self.use_norm:
             x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return x
+
+
+class MergeFirstLayer(nn.Module):
+    """TBC-style analysis stage: PatchMerging (dim_in -> dim_out, 2x down)
+    first, then `depth` Swin blocks at dim_out (`tbc.py:265-351` with
+    downsample=PatchMerging applied before the blocks)."""
+
+    dim_in: int
+    dim_out: int
+    depth: int
+    num_heads: int
+    window_size: int = 8
+    mlp_ratio: float = 4.0
+    drop_path: Sequence[float] = ()
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = PatchMerging(self.dim_in, self.dim_out, name="downsample")(x)
+        for i in range(self.depth):
+            dp = self.drop_path[i] if i < len(self.drop_path) else 0.0
+            x = SwinTransformerBlock(
+                dim=self.dim_out,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio,
+                drop_path=dp,
+                name=f"block_{i}",
+            )(x, deterministic)
+        return x
+
+
+class SplitLastLayer(nn.Module):
+    """TBC-style synthesis stage: `depth` Swin blocks at dim, then
+    PatchSplit (dim -> dim_out, 2x up) (`tbc.py:265-351` with
+    downsample=PatchSplit applied after the blocks)."""
+
+    dim: int
+    dim_out: int
+    depth: int
+    num_heads: int
+    window_size: int = 8
+    mlp_ratio: float = 4.0
+    drop_path: Sequence[float] = ()
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i in range(self.depth):
+            dp = self.drop_path[i] if i < len(self.drop_path) else 0.0
+            x = SwinTransformerBlock(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio,
+                drop_path=dp,
+                name=f"block_{i}",
+            )(x, deterministic)
+        return PatchSplit(self.dim, self.dim_out, name="upsample")(x)
 
 
 class BasicLayer(nn.Module):

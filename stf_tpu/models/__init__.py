@@ -1,5 +1,15 @@
+from .cc import CC
 from .cnn import WACNN
 from .codec import Codec
+from .dystf import DYSTF
 from .stf import SymmetricalTransFormer
+from .tbc import TransformerBasedCoding
 
-__all__ = ["WACNN", "Codec", "SymmetricalTransFormer"]
+__all__ = [
+    "CC",
+    "DYSTF",
+    "WACNN",
+    "Codec",
+    "SymmetricalTransFormer",
+    "TransformerBasedCoding",
+]

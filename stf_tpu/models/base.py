@@ -27,25 +27,27 @@ from ..ops import ste_round
 
 
 class ConvGeluStack(nn.Module):
-    """Conv stack with GELU between layers (no activation after the last).
+    """Conv stack with an activation between layers (none after the last).
 
     Used for the hyper transforms and channel-context slice transforms
-    (reference `cnn.py:54-127`).
+    (reference `cnn.py:54-127` with GELU, `CC.py:51-100` with ReLU).
     """
 
     features: Sequence[int]
     kernel_sizes: Sequence[int]
     strides: Sequence[int]
+    activation: str = "gelu"
 
     @nn.compact
     def __call__(self, x):
+        act = {"gelu": gelu, "relu": nn.relu}[self.activation]
         n = len(self.features)
         for i, (f, k, s) in enumerate(
             zip(self.features, self.kernel_sizes, self.strides)
         ):
             x = Conv(f, kernel_size=k, stride=s, name=f"conv_{i}")(x)
             if i < n - 1:
-                x = gelu(x)
+                x = act(x)
         return x
 
 
@@ -88,6 +90,15 @@ class ChannelARModel(nn.Module):
         k = self.max_support_slices
         return list(y_hat_slices) if k < 0 else list(y_hat_slices)[:k]
 
+    def slice_boundaries(self, M: int):
+        """Channel split points: ceil(M/S)-wide slices, remainder on the
+        last (`tbc.py:550-588`; equal widths for WACNN/STF/CC)."""
+        w = -(-M // self.num_slices)
+        return [min(w * i, M) for i in range(1, self.num_slices)]
+
+    def _split_slices(self, y):
+        return jnp.split(y, self.slice_boundaries(y.shape[-1]), axis=-1)
+
     def _slice_mu_scale(self, i, latent_means, latent_scales, support_slices):
         mean_support = jnp.concatenate(
             [latent_means] + list(support_slices), axis=-1
@@ -107,6 +118,15 @@ class ChannelARModel(nn.Module):
 
     def __call__(self, x, training: bool = True) -> Dict[str, Any]:
         y = self.analysis(x)
+        y_hat, likelihoods = self.entropy_forward(y, training)
+        x_hat = self.synthesis(y_hat)
+        out = {"x_hat": x_hat, "likelihoods": likelihoods}
+        if getattr(self, "is_teacher", False):
+            out["y"] = y
+        return out
+
+    def entropy_forward(self, y, training: bool):
+        """Hyper path + channel-AR slice loop; returns (y_hat, likelihoods)."""
         z = self.h_a(y)
         _, z_likelihoods = self.entropy_bottleneck(z, training=training)
 
@@ -121,7 +141,7 @@ class ChannelARModel(nn.Module):
         latent_scales = latent_scales[:, :h, :w, :]
         latent_means = latent_means[:, :h, :w, :]
 
-        y_slices = jnp.split(y, self.num_slices, axis=-1)
+        y_slices = self._split_slices(y)
         y_hat_slices = []
         y_likelihoods = []
         for i, y_slice in enumerate(y_slices):
@@ -138,17 +158,11 @@ class ChannelARModel(nn.Module):
             y_hat_slices.append(y_hat_slice)
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        x_hat = self.synthesis(y_hat)
-        out = {
-            "x_hat": x_hat,
-            "likelihoods": {
-                "y": jnp.concatenate(y_likelihoods, axis=-1),
-                "z": z_likelihoods,
-            },
+        likelihoods = {
+            "y": jnp.concatenate(y_likelihoods, axis=-1),
+            "z": z_likelihoods,
         }
-        if getattr(self, "is_teacher", False):
-            out["y"] = y
-        return out
+        return y_hat, likelihoods
 
     def aux_loss(self):
         return self.entropy_bottleneck.aux_loss()

@@ -1,0 +1,142 @@
+"""CC_GD — the CC codec with Gate-Decorator channel pruning.
+
+Behavior parity with the reference (`compressai/models/CC_gd.py:23-135,
+735-756`): a `GateDecorator` after selected convs multiplies activations by
+a learned per-channel `gate` and a binary `mask`; gates are inserted
+throughout h_a / h_mean_s / h_scale_s and the first two convs of every
+slice transform (g_a/g_s stay ungated). Taylor scores `|dL/dgate * gate|`
+are accumulated by the tick loop (stf_tpu/training/train_gd.py) from the
+gradient tree — no mutable buffers needed in the functional design.
+
+`mask` is a parameter that the optimizer never updates (the train-state
+labels it into a zeroed transform); the tick/tock pruning loop rewrites it
+host-side. `minimal = int(0.04 * C)` is the per-gate keep floor.
+"""
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..entropy import EntropyBottleneck
+from ..layers import Conv, ConvTranspose
+from .base import ChannelARModel
+from .cc import CCAnalysis, CCSynthesis
+
+GATE_MINIMAL_FRAC = 0.04
+
+
+class GateDecorator(nn.Module):
+    """x * gate * mask over the channel axis (`CC_gd.py:735-756`)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        gate = self.param("gate", nn.initializers.ones, (self.channels,))
+        mask = self.param("mask", nn.initializers.ones, (self.channels,))
+        return x * gate * mask
+
+
+class GatedStack(nn.Module):
+    """conv -> gate -> ReLU chain; `gate_last` controls a trailing gate."""
+
+    features: Sequence[int]
+    kernel_sizes: Sequence[int]
+    strides: Sequence[int]
+    deconv_flags: Sequence[bool] = ()
+    gate_last: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.features)
+        for i, (f, k, s) in enumerate(
+            zip(self.features, self.kernel_sizes, self.strides)
+        ):
+            is_deconv = i < len(self.deconv_flags) and self.deconv_flags[i]
+            if is_deconv:
+                x = ConvTranspose(f, kernel_size=k, stride=s, name=f"deconv_{i}")(x)
+            else:
+                x = Conv(f, kernel_size=k, stride=s, name=f"conv_{i}")(x)
+            last = i == n - 1
+            if not last or self.gate_last:
+                x = GateDecorator(f, name=f"gate_{i}")(x)
+            if not last:
+                x = nn.relu(x)
+        return x
+
+
+class CC_GD(ChannelARModel):
+    """Gate-decorated CC ("cc_gd" in the registry)."""
+
+    N: int = 192
+    M: int = 320
+    num_slices: int = 10
+    max_support_slices: int = 5
+    sparse_lambda: float = 0.5
+
+    def setup(self):
+        self.g_a = CCAnalysis(self.N, self.M)
+        self.g_s = CCSynthesis(self.N, self.M)
+        mid = round((self.N + self.M) / 2 / 32) * 32  # 256
+        self.h_a = GatedStack(
+            features=(self.M, mid, self.N),
+            kernel_sizes=(3, 5, 5),
+            strides=(1, 2, 2),
+            gate_last=True,
+            name="h_a",
+        )
+        self.h_mean_s = GatedStack(
+            features=(self.N, mid, self.M),
+            kernel_sizes=(5, 5, 3),
+            strides=(2, 2, 1),
+            deconv_flags=(True, True, False),
+            gate_last=True,
+            name="h_mean_s",
+        )
+        self.h_scale_s = GatedStack(
+            features=(self.N, mid, self.M),
+            kernel_sizes=(5, 5, 3),
+            strides=(2, 2, 1),
+            deconv_flags=(True, True, False),
+            gate_last=True,
+            name="h_scale_s",
+        )
+        slice_ch = self.M // self.num_slices
+        self.cc_mean_transforms = [
+            GatedStack(
+                features=(224, 128, slice_ch),
+                kernel_sizes=(3, 3, 3),
+                strides=(1, 1, 1),
+                gate_last=False,
+                name=f"cc_mean_{i}",
+            )
+            for i in range(self.num_slices)
+        ]
+        self.cc_scale_transforms = [
+            GatedStack(
+                features=(224, 128, slice_ch),
+                kernel_sizes=(3, 3, 3),
+                strides=(1, 1, 1),
+                gate_last=False,
+                name=f"cc_scale_{i}",
+            )
+            for i in range(self.num_slices)
+        ]
+        self.lrp_transforms = [
+            GatedStack(
+                features=(224, 128, slice_ch),
+                kernel_sizes=(3, 3, 3),
+                strides=(1, 1, 1),
+                gate_last=False,
+                name=f"lrp_{i}",
+            )
+            for i in range(self.num_slices)
+        ]
+        self.entropy_bottleneck = EntropyBottleneck(self.N)
+
+    def analysis(self, x):
+        return self.g_a(x)
+
+    def synthesis(self, y_hat):
+        return self.g_s(y_hat)

@@ -132,7 +132,9 @@ class Codec:
 
         y_shape = (y.shape[1], y.shape[2])
         latent_means, latent_scales = self._hyper(self.params, z_hat, y_shape)
-        y_slices = jnp.split(y, self.model.num_slices, axis=-1)
+        y_slices = jnp.split(
+            y, self.model.slice_boundaries(y.shape[-1]), axis=-1
+        )
 
         cdf, lengths, offsets = self.gc_coder.tables.astuple()
         encoder = BufferedRansEncoder()

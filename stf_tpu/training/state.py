@@ -21,10 +21,17 @@ from .losses import rate_distortion_loss
 
 
 def _label_params(params):
+    def label(path):
+        if "quantiles" in path:
+            return "aux"
+        if path[-1] == "mask":
+            # GateDecorator masks: never touched by the optimizer; the
+            # tick/tock pruning loop rewrites them host-side.
+            return "frozen"
+        return "main"
+
     flat = traverse_util.flatten_dict(params)
-    labels = {
-        k: ("aux" if "quantiles" in k else "main") for k in flat
-    }
+    labels = {k: label(k) for k in flat}
     return traverse_util.unflatten_dict(labels)
 
 
@@ -43,7 +50,8 @@ def configure_optimizers(
     )
     aux = optax.adam(aux_learning_rate)
     return optax.multi_transform(
-        {"main": main, "aux": aux}, _label_params
+        {"main": main, "aux": aux, "frozen": optax.set_to_zero()},
+        _label_params,
     )
 
 

@@ -1,0 +1,116 @@
+"""CC_GD gate-decorator pruning tests (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stf_tpu.models.cc_gd import CC_GD
+from stf_tpu.training.train_gd import (
+    accumulate_scores,
+    gate_l1_penalty,
+    iter_gate_paths,
+    param_scale,
+    prune_export,
+    prune_masks,
+)
+from stf_tpu.training.losses import rate_distortion_loss
+
+SMALL = dict(N=32, M=40, num_slices=4, max_support_slices=2)
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    model = CC_GD(**SMALL)
+    variables = model.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3)),
+        training=False,
+    )
+    return model, variables["params"]
+
+
+def test_gates_present_and_forward(model_params):
+    model, params = model_params
+    gates = list(iter_gate_paths(params))
+    # h_a(3) + h_mean_s(3) + h_scale_s(3) + 4 slices * 3 transforms * 2
+    assert len(gates) == 9 + 4 * 3 * 2
+    x = jax.random.uniform(jax.random.key(2), (1, 64, 64, 3))
+    out = model.apply(
+        {"params": params}, x, training=True, rngs={"noise": jax.random.key(3)}
+    )
+    assert out["x_hat"].shape == x.shape
+
+
+def test_gate_penalty_and_optimizer_freezes_masks(model_params):
+    from stf_tpu.training import create_train_state
+
+    model, _ = model_params
+    state = create_train_state(model, jax.random.key(0), (1, 64, 64, 3))
+    pen = gate_l1_penalty(state.params)
+    n_gate_ch = sum(
+        g.shape[0] for _, g, _ in iter_gate_paths(state.params)
+    )
+    np.testing.assert_allclose(float(pen), n_gate_ch, rtol=1e-6)  # init ones
+
+    # one train step: masks must stay exactly 1.0 (zeroed partition)
+    from stf_tpu.training import make_train_step
+
+    step = jax.jit(make_train_step(model, lmbda=0.01))
+    x = jax.random.uniform(jax.random.key(1), (1, 64, 64, 3))
+    new_state, _ = step(state, x, jax.random.key(2))
+    for _, _, mask in iter_gate_paths(new_state.params):
+        np.testing.assert_array_equal(np.asarray(mask), 1.0)
+
+
+def test_score_accumulation_and_pruning(model_params):
+    model, params = model_params
+    x = jax.random.uniform(jax.random.key(4), (1, 64, 64, 3))
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p}, x, training=True, rngs={"noise": jax.random.key(5)}
+        )
+        return rate_distortion_loss(out, x, 0.01).loss
+
+    grads = jax.grad(loss_fn)(params)
+    scores = accumulate_scores({}, params, grads)
+    assert len(scores) == len(list(iter_gate_paths(params)))
+    assert all(np.all(s >= 0) for s in scores.values())
+
+    before = param_scale(params)
+    assert before == 1.0
+    pruned = prune_masks(params, scores, num=10)
+    after = param_scale(pruned)
+    assert after < 1.0
+    # keep floors respected: every gate keeps at least 1 channel
+    for _, _, mask in iter_gate_paths(pruned):
+        assert np.asarray(mask).sum() >= 1
+
+
+def test_prune_export(model_params, tmp_path):
+    model, params = model_params
+    x = jax.random.uniform(jax.random.key(6), (1, 64, 64, 3))
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p}, x, training=True, rngs={"noise": jax.random.key(7)}
+        )
+        return rate_distortion_loss(out, x, 0.01).loss
+
+    grads = jax.grad(loss_fn)(params)
+    scores = accumulate_scores({}, params, grads)
+    pruned_params = prune_masks(params, scores, num=20)
+
+    kept0 = int((np.asarray(pruned_params["h_a"]["gate_0"]["mask"]) > 0).sum())
+
+    exported, deps = prune_export(pruned_params, str(tmp_path))
+    assert (tmp_path / "pruned_model.msgpack").exists()
+    assert len(deps) == len(list(iter_gate_paths(params)))
+    # interior h_a gate got physically sliced on both sides
+    ha = exported["h_a"]
+    assert "gate_0" not in ha
+    inner = next(iter(ha["conv_0"]))
+    assert ha["conv_0"][inner]["kernel"].shape[-1] == kept0
+    cinner = next(iter(ha["conv_1"]))
+    assert ha["conv_1"][cinner]["kernel"].shape[2] == kept0
