@@ -12,6 +12,7 @@ with data-dependent constants small next to the transforms).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -45,9 +46,15 @@ def main():
 
     start = time.time()
     out_enc = codec.compress(batch)
+    t_enc = time.time() - start
     out_dec = codec.decompress(out_enc["strings"], out_enc["shape"])
     jax.block_until_ready(out_dec["x_hat"])
     elapsed = time.time() - start
+    print(
+        f"encode: {t_enc:.2f}s  decode: {elapsed - t_enc:.2f}s "
+        f"({n_images} images)",
+        file=sys.stderr,
+    )
 
     images_per_sec = n_images / elapsed
     baseline_ips = 1.0 / REFERENCE_SEC_PER_IMG

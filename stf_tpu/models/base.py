@@ -197,5 +197,30 @@ class ChannelARModel(nn.Module):
         y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
         return y_hat_slice
 
+    def decode_slice_fused(
+        self, i, latent_means, latent_scales, support, mu_prev, rv_prev,
+        scale_table,
+    ):
+        """Fused AR step (one dispatch): reconstruct slice i-1 from its
+        decoded symbols, then compute slice i's (mu, indexes).
+
+        `support` is the capped support list for slice i-1 (the first
+        min(i-1, max_support_slices) reconstructed slices). Halves the
+        per-slice program dispatches of the coding path — host round trips
+        dominate the channel-AR walk, not compute.
+        """
+        support = list(support)
+        y_hat_prev = self.decode_slice_apply(
+            i - 1, latent_means, support, mu_prev, rv_prev
+        )
+        k = self.max_support_slices
+        support_i = support + [y_hat_prev]
+        if k >= 0:
+            support_i = support_i[:k]
+        mu, idx = self.decode_slice_indexes(
+            i, latent_means, latent_scales, support_i, scale_table
+        )
+        return y_hat_prev, mu, idx
+
     def synthesize(self, y_hat):
         return jnp.clip(self.synthesis(y_hat), 0.0, 1.0)

@@ -59,18 +59,27 @@ class Codec:
             ),
             static_argnums=(2,),
         )
-        self._slice_idx = jax.jit(
-            lambda p, i, lm, ls, support: model.apply(
-                {"params": p},
-                i,
-                lm,
-                ls,
-                support,
-                jnp.asarray(self.scale_table),
+        # scale-table indexes fit in a byte (64 levels): cast before the
+        # device->host transfer, which is the scarce resource in the walk
+        idx_dtype = jnp.uint8 if len(self.scale_table) <= 255 else jnp.int32
+        table = jnp.asarray(self.scale_table)
+
+        def slice_idx(p, i, lm, ls, support):
+            mu, idx = model.apply(
+                {"params": p}, i, lm, ls, support, table,
                 method="decode_slice_indexes",
-            ),
-            static_argnums=(1,),
-        )
+            )
+            return mu, idx.astype(idx_dtype)
+
+        def slice_fused(p, i, lm, ls, support, mu, rv):
+            y_prev, mu, idx = model.apply(
+                {"params": p}, i, lm, ls, support, mu, rv, table,
+                method="decode_slice_fused",
+            )
+            return y_prev, mu, idx.astype(idx_dtype)
+
+        self._slice_idx = jax.jit(slice_idx, static_argnums=(1,))
+        self._slice_fused = jax.jit(slice_fused, static_argnums=(1,))
         self._slice_apply = jax.jit(
             lambda p, i, lm, support, mu, rv: model.apply(
                 {"params": p}, i, lm, support, mu, rv,
@@ -78,7 +87,16 @@ class Codec:
             ),
             static_argnums=(1,),
         )
-        self._quantize = jax.jit(lambda y_slice, mu: jnp.round(y_slice - mu).astype(jnp.int32))
+        def quantize(y_slice, mu):
+            # full-precision symbols feed the AR chain; an int8 copy rides
+            # the (slow) device->host link for rANS, with an overflow flag
+            # selecting the exact int32 copy in the rare out-of-range case
+            q32 = jnp.round(y_slice - mu).astype(jnp.int32)
+            q8 = jnp.clip(q32, -128, 127).astype(jnp.int8)
+            overflow = jnp.any(q32 != q8.astype(jnp.int32))
+            return q32, q8, overflow
+
+        self._quantize = jax.jit(quantize)
         self._synth = jax.jit(
             lambda p, y_hat: model.apply({"params": p}, y_hat, method="synthesize")
         )
@@ -101,22 +119,37 @@ class Codec:
     # -- shared per-slice walk ------------------------------------------------
 
     def _walk_slices(self, latent_means, latent_scales, get_symbols):
-        """Run the channel-AR slice chain. `get_symbols(i, mu, idx)` returns
-        the int32 symbols for slice i — from quantization (encoder) or from
-        the rANS stream (decoder). Returns the list of y_hat slices."""
+        """Run the channel-AR slice chain with fused steps. `get_symbols(i,
+        mu, idx)` returns the int32 symbols for slice i — from quantization
+        (encoder) or from the rANS stream (decoder). Returns the y_hat
+        slices. Encoder and decoder both run exactly this walk, so every
+        program (and hence every mu/scale/index bit) matches."""
         y_hat_slices: List = []
         k = self.model.max_support_slices
-        for i in range(self.model.num_slices):
-            support = tuple(y_hat_slices if k < 0 else y_hat_slices[:k])
-            mu, idx = self._slice_idx(
-                self.params, i, latent_means, latent_scales, support
+
+        def support():
+            return tuple(y_hat_slices if k < 0 else y_hat_slices[:k])
+
+        mu, idx = self._slice_idx(
+            self.params, 0, latent_means, latent_scales, ()
+        )
+        for i in range(1, self.model.num_slices):
+            rv = get_symbols(i - 1, mu, idx)
+            y_prev, mu, idx = self._slice_fused(
+                self.params, i, latent_means, latent_scales, support(), mu, rv
             )
-            rv = get_symbols(i, mu, idx)
-            y_hat_slices.append(
-                self._slice_apply(
-                    self.params, i, latent_means, support, mu, rv
-                )
+            y_hat_slices.append(y_prev)
+        rv = get_symbols(self.model.num_slices - 1, mu, idx)
+        y_hat_slices.append(
+            self._slice_apply(
+                self.params,
+                self.model.num_slices - 1,
+                latent_means,
+                support(),
+                mu,
+                rv,
             )
+        )
         return y_hat_slices
 
     # -- compress ------------------------------------------------------------
@@ -138,9 +171,28 @@ class Codec:
 
         cdf, lengths, offsets = self.gc_coder.tables.astuple()
         encoder = BufferedRansEncoder()
+        pending = []  # (q, idx) device arrays; fetched after the walk
+
+        def start_transfer(arr):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
 
         def get_symbols(i, mu, idx):
-            q = self._quantize(y_slices[i], mu)
+            # Quantization feeds the AR chain on device; the host only needs
+            # (q, idx) for rANS, which is order-independent buffering — so
+            # transfers run async and encoding happens after the walk,
+            # keeping the critical path free of D2H stalls.
+            q32, q8, overflow = self._quantize(y_slices[i], mu)
+            start_transfer(q8)
+            start_transfer(idx)
+            pending.append((q32, q8, overflow, idx))
+            return q32
+
+        self._walk_slices(latent_means, latent_scales, get_symbols)
+        for q32, q8, overflow, idx in pending:
+            q = q32 if bool(overflow) else q8
             encoder.encode_with_indexes(
                 np.asarray(q).reshape(-1),
                 np.asarray(idx).reshape(-1),
@@ -148,9 +200,6 @@ class Codec:
                 lengths,
                 offsets,
             )
-            return q
-
-        self._walk_slices(latent_means, latent_scales, get_symbols)
         y_string = encoder.flush()
 
         return {

@@ -32,12 +32,22 @@ def initialize_distributed(coordinator: Optional[str] = None, **kwargs):
 
 
 def create_mesh(
-    data: Optional[int] = None, devices: Optional[Sequence] = None
+    data: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    batch_size: Optional[int] = None,
 ) -> Mesh:
-    """1-D data mesh over all (or the given) devices."""
+    """1-D data mesh over all (or the given) devices.
+
+    When `batch_size` is given, the data axis is capped to the largest
+    device count that divides it (a 2-image batch on an 8-device host uses
+    2 devices — the reference's DDP has the analogous constraint via its
+    process count)."""
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
         data = len(devices)
+    if batch_size is not None:
+        while data > 1 and batch_size % data != 0:
+            data -= 1
     return Mesh(np.asarray(devices[:data]).reshape(data), ("data",))
 
 

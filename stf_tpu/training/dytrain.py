@@ -143,7 +143,7 @@ def main(argv=None):
     from ..zoo import models
     from .train import restore_training_checkpoint, save_training_checkpoint
 
-    mesh = create_mesh()
+    mesh = create_mesh(batch_size=args.batch_size)
     repl_sh, data_sh = data_parallel_shardings(mesh)
 
     student = models[args.model]()

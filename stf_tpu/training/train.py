@@ -129,7 +129,7 @@ def main(argv=None):
     if args.coordinator:
         initialize_distributed(args.coordinator)
 
-    mesh = create_mesh()
+    mesh = create_mesh(batch_size=args.batch_size)
     n_proc = process_count()
     main_proc = is_main_process()
     if main_proc:

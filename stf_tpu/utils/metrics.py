@@ -76,10 +76,19 @@ def ms_ssim(
     sigma: float = 1.5,
     weights=_MSSSIM_WEIGHTS,
 ):
-    """Multi-scale SSIM; inputs NHWC, at least 176x176 for the 5-scale
-    default (needs (win-1)*2^4 pixels)."""
+    """Multi-scale SSIM; inputs NHWC. Images too small for the 5-scale
+    default automatically use fewer scales with renormalized weights (each
+    scale needs >= win_size pixels after its poolings)."""
     win = _gaussian_kernel(win_size, sigma)
     levels = len(weights)
+    min_side = min(x.shape[1], x.shape[2])
+    max_levels = 1
+    while max_levels < levels and (min_side // 2 ** max_levels) >= win_size:
+        max_levels += 1
+    if max_levels < levels:
+        w = np.asarray(weights[:max_levels])
+        weights = tuple(w / w.sum())
+        levels = max_levels
     mcs = []
     for i in range(levels):
         s, cs = _ssim_components(x, y, win, data_range)

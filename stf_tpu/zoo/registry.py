@@ -24,7 +24,7 @@ def _available():
 class _Models(dict):
     def __missing__(self, key):
         raise KeyError(
-            f"unknown model {key!r} (available: {', '.join(sorted(_REGISTRY))})"
+            f"unknown model {key!r} (available: {', '.join(sorted(self))})"
         )
 
 
