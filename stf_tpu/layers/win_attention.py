@@ -81,16 +81,24 @@ def shifted_window_mask(H: int, W: int, window_size: int, shift_size: int):
 
 
 class WindowAttention(nn.Module):
-    """W-MSA over already-partitioned windows: x is (B*nW, N, C)."""
+    """W-MSA over already-partitioned windows: x is (B*nW, N, C).
+
+    With `use_pallas=True` the attention core (scores + bias + mask +
+    softmax + weighted sum) runs as one fused Pallas kernel in VMEM
+    (layers/pallas_attention.py); the qkv/out projections remain XLA GEMMs.
+    """
 
     dim: int
     window_size: tuple  # (wh, ww)
     num_heads: int
     qkv_bias: bool = True
     qk_scale: float = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
+        from .pallas_attention import window_attention_core
+
         B_, N, C = x.shape
         nh = self.num_heads
         head_dim = self.dim // nh
@@ -100,10 +108,6 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(B_, N, 3, nh, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
 
-        attn = jnp.einsum(
-            "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32
-        )
-
         wh, ww = self.window_size
         bias_table = self.param(
             "relative_position_bias_table",
@@ -112,18 +116,18 @@ class WindowAttention(nn.Module):
         )
         idx = relative_position_index(wh, ww).reshape(-1)
         rel_bias = bias_table[idx].reshape(wh * ww, wh * ww, nh)
-        attn = attn + rel_bias.transpose(2, 0, 1)[None]
+        rel_bias = rel_bias.transpose(2, 0, 1)  # (nh, N, N)
 
         if mask is not None:
             nW = mask.shape[0]
-            attn = attn.reshape(B_ // nW, nW, nh, N, N) + jnp.asarray(mask)[
-                None, :, None
-            ]
-            attn = attn.reshape(B_, nh, N, N)
-        attn = jax.nn.softmax(attn, axis=-1)
+            mask_full = jnp.broadcast_to(
+                jnp.asarray(mask)[None], (B_ // nW, nW, N, N)
+            ).reshape(B_, N, N)
+        else:
+            mask_full = None
 
-        x = jnp.einsum(
-            "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
+        x = window_attention_core(
+            q, k, v, rel_bias, mask_full, scale, use_pallas=self.use_pallas
         )
         x = x.transpose(0, 2, 1, 3).reshape(B_, N, C)
         return nn.Dense(self.dim, name="proj")(x)

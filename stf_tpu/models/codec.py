@@ -38,11 +38,27 @@ from ..entropy import (
 
 
 class Codec:
-    """Wraps (model, params) with CDF tables and jitted coding-path fns."""
+    """Wraps (model, params) with CDF tables and jitted coding-path fns.
 
-    def __init__(self, model, params, scale_table: Optional[np.ndarray] = None):
+    `pipeline` > 1 splits a multi-image batch into that many sub-batches
+    whose channel-AR walks interleave: while one sub-batch's decoded
+    symbols cross the host boundary and run through rANS, the others'
+    device programs and transfers are in flight. Symbols are written in
+    (slice, sub-batch) order, so the same `pipeline` value must be used to
+    decode a stream that was encoded with it (it is part of the stream
+    layout, like `num_slices`).
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        scale_table: Optional[np.ndarray] = None,
+        pipeline: int = 1,
+    ):
         self.model = model
         self.params = params
+        self.pipeline = max(int(pipeline), 1)
         self.scale_table = (
             np.asarray(scale_table, np.float32)
             if scale_table is not None
@@ -50,9 +66,14 @@ class Codec:
         )
         self.update()
 
-        self._analyze = jax.jit(
-            lambda p, x: model.apply({"params": p}, x, method="analyze")
-        )
+        def analyze(p, x):
+            # accept native uint8 images: upload 1 byte/px and normalize on
+            # device (4x less host->device traffic than f32)
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0
+            return model.apply({"params": p}, x, method="analyze")
+
+        self._analyze = jax.jit(analyze)
         self._hyper = jax.jit(
             lambda p, z_hat, y_shape: model.apply(
                 {"params": p}, z_hat, y_shape, method="hyper_synthesize"
@@ -152,6 +173,20 @@ class Codec:
         )
         return y_hat_slices
 
+    def _sub_batches(self, B: int):
+        K = self.pipeline
+        if K > B or B % K != 0:
+            K = 1
+        step = B // K
+        return [(k * step, (k + 1) * step) for k in range(K)]
+
+    @staticmethod
+    def _start_transfer(arr):
+        try:
+            arr.copy_to_host_async()
+        except AttributeError:
+            pass
+
     # -- compress ------------------------------------------------------------
 
     def compress(self, x) -> Dict[str, Any]:
@@ -165,33 +200,31 @@ class Codec:
 
         y_shape = (y.shape[1], y.shape[2])
         latent_means, latent_scales = self._hyper(self.params, z_hat, y_shape)
-        y_slices = jnp.split(
-            y, self.model.slice_boundaries(y.shape[-1]), axis=-1
-        )
+        bounds = self.model.slice_boundaries(y.shape[-1])
 
         cdf, lengths, offsets = self.gc_coder.tables.astuple()
         encoder = BufferedRansEncoder()
-        pending = []  # (q, idx) device arrays; fetched after the walk
+        pending = {}  # (slice, sub) -> (q32, q8, overflow, idx)
 
-        def start_transfer(arr):
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:
-                pass
+        # Per-sub-batch walks: all device work enqueues asynchronously, and
+        # the (q, idx) transfers for rANS start async during the walks —
+        # the critical path never stalls on device->host traffic.
+        for k, (lo, hi) in enumerate(self._sub_batches(y.shape[0])):
+            lm, ls = latent_means[lo:hi], latent_scales[lo:hi]
+            y_slices = jnp.split(y[lo:hi], bounds, axis=-1)
 
-        def get_symbols(i, mu, idx):
-            # Quantization feeds the AR chain on device; the host only needs
-            # (q, idx) for rANS, which is order-independent buffering — so
-            # transfers run async and encoding happens after the walk,
-            # keeping the critical path free of D2H stalls.
-            q32, q8, overflow = self._quantize(y_slices[i], mu)
-            start_transfer(q8)
-            start_transfer(idx)
-            pending.append((q32, q8, overflow, idx))
-            return q32
+            def get_symbols(i, mu, idx, k=k, y_slices=y_slices):
+                q32, q8, overflow = self._quantize(y_slices[i], mu)
+                self._start_transfer(q8)
+                self._start_transfer(idx)
+                pending[(i, k)] = (q32, q8, overflow, idx)
+                return q32
 
-        self._walk_slices(latent_means, latent_scales, get_symbols)
-        for q32, q8, overflow, idx in pending:
+            self._walk_slices(lm, ls, get_symbols)
+
+        # (slice, sub-batch) order — must match the decoder's read order
+        for key in sorted(pending):
+            q32, q8, overflow, idx = pending[key]
             q = q32 if bool(overflow) else q8
             encoder.encode_with_indexes(
                 np.asarray(q).reshape(-1),
@@ -219,14 +252,50 @@ class Codec:
         decoder = RansDecoder()
         decoder.set_stream(y_strings[0])
 
-        def get_symbols(i, mu, idx):
-            idx_np = np.asarray(idx)
-            rv = decoder.decode_stream(
-                idx_np.reshape(-1), cdf, lengths, offsets
-            )
-            return jnp.asarray(rv.reshape(idx_np.shape))
+        B = z_hat.shape[0]
+        subs = self._sub_batches(B)
+        K = len(subs)
+        S = self.model.num_slices
+        k_supp = self.model.max_support_slices
 
-        y_hat_slices = self._walk_slices(latent_means, latent_scales, get_symbols)
-        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        lm = [latent_means[lo:hi] for lo, hi in subs]
+        ls = [latent_scales[lo:hi] for lo, hi in subs]
+        y_hats: List[List] = [[] for _ in range(K)]
+        mu, idx = [None] * K, [None] * K
+
+        def support(k):
+            return tuple(
+                y_hats[k] if k_supp < 0 else y_hats[k][:k_supp]
+            )
+
+        # Interleave the K sub-batch walks: while sub-batch k's symbols run
+        # through the host rANS decoder, the other sub-batches' dispatches
+        # and index transfers are in flight.
+        for k in range(K):
+            mu[k], idx[k] = self._slice_idx(self.params, 0, lm[k], ls[k], ())
+            self._start_transfer(idx[k])
+        for i in range(S):
+            for k in range(K):
+                idx_np = np.asarray(idx[k])
+                rv = decoder.decode_stream(
+                    idx_np.reshape(-1), cdf, lengths, offsets
+                )
+                rv = jnp.asarray(rv.reshape(idx_np.shape))
+                if i < S - 1:
+                    y_prev, mu[k], idx[k] = self._slice_fused(
+                        self.params, i + 1, lm[k], ls[k], support(k), mu[k], rv
+                    )
+                    self._start_transfer(idx[k])
+                    y_hats[k].append(y_prev)
+                else:
+                    y_hats[k].append(
+                        self._slice_apply(
+                            self.params, S - 1, lm[k], support(k), mu[k], rv
+                        )
+                    )
+
+        y_hat = jnp.concatenate(
+            [jnp.concatenate(h, axis=-1) for h in y_hats], axis=0
+        )
         x_hat = self._synth(self.params, y_hat)
         return {"x_hat": x_hat}

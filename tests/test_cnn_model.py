@@ -137,6 +137,32 @@ class TestCompressDecompress:
         assert out_enc["strings"][0][0] == out_enc2["strings"][0][0]
         assert out_enc["strings"][1][0] == out_enc2["strings"][1][0]
 
+    def test_pipelined_codec_roundtrip(self, small_model_state):
+        """pipeline=2 interleaves two sub-batch walks; the reconstruction
+        must match the non-pipelined decode closely (different sub-batch
+        program shapes -> small float drift) and be deterministic."""
+        model, state = small_model_state
+        codec1 = Codec(model, state.params, pipeline=1)
+        codec2 = Codec(model, state.params, pipeline=2)
+        x = np.asarray(jax.random.uniform(jax.random.key(11), (4, 64, 64, 3)))
+
+        enc2 = codec2.compress(x)
+        dec2 = codec2.decompress(enc2["strings"], enc2["shape"])
+        dec2b = codec2.decompress(enc2["strings"], enc2["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec2["x_hat"]), np.asarray(dec2b["x_hat"])
+        )
+
+        enc1 = codec1.compress(x)
+        dec1 = codec1.decompress(enc1["strings"], enc1["shape"])
+        # different sub-batch program shapes can flip a handful of
+        # quantization ties (each config is self-consistent); reconstructions
+        # must agree except for a tiny fraction of pixels
+        a, b = np.asarray(dec2["x_hat"]), np.asarray(dec1["x_hat"])
+        frac_diff = np.mean(np.abs(a - b) > 2e-2)
+        assert frac_diff < 5e-3, f"{frac_diff:.4%} of pixels differ"
+        assert np.mean(np.abs(a - b)) < 1e-3
+
     def test_roundtrip_matches_eval_forward(self, small_model_state):
         """The real-bitstream round trip must reproduce the eval-mode
         forward pass exactly: same z_hat (round around medians), same
