@@ -126,7 +126,15 @@ def eval_model(
     entropy_estimation=False,
     recon_path="reconstruction",
     verbose=False,
+    half=False,
 ):
+    if half:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+            else a,
+            params,
+        )
     metrics = collections.defaultdict(float)
     codec = None if entropy_estimation else Codec(model, params)
     apply_jit = (
@@ -174,6 +182,12 @@ def setup_args():
     )
     p.add_argument("--entropy-estimation", action="store_true")
     p.add_argument(
+        "--half",
+        action="store_true",
+        help="run the transforms in bfloat16 (TPU-native half precision; "
+        "the reference's fp16 option)",
+    )
+    p.add_argument(
         "--profile-dir",
         type=str,
         default=None,
@@ -214,6 +228,7 @@ def main(argv=None):
                 args.entropy_estimation,
                 args.recon_path,
                 args.verbose,
+                half=args.half,
             )
             for k, v in metrics.items():
                 results[k].append(v)

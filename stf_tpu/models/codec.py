@@ -66,12 +66,17 @@ class Codec:
         )
         self.update()
 
+        # compute dtype follows the params (bf16 params -> bf16 transforms)
+        self.dtype = jax.tree_util.tree_leaves(params)[0].dtype
+
         def analyze(p, x):
             # accept native uint8 images: upload 1 byte/px and normalize on
             # device (4x less host->device traffic than f32)
             if x.dtype == jnp.uint8:
                 x = x.astype(jnp.float32) / 255.0
-            return model.apply({"params": p}, x, method="analyze")
+            return model.apply(
+                {"params": p}, x.astype(self.dtype), method="analyze"
+            )
 
         self._analyze = jax.jit(analyze)
         self._hyper = jax.jit(

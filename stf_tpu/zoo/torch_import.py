@@ -209,15 +209,37 @@ def _stf_rules():
     return rules
 
 
-_RULES = {"cnn": _wacnn_rules, "stf": _stf_rules}
+def _cc_rules():
+    """CC (`compressai/models/CC.py:23-104`): conv/GDN g_a & g_s, ReLU
+    hyper, 3-conv slice stacks."""
+    rules = [
+        # g_a: conv at seq 2i, GDN at 2i+1; g_s mirrored with deconv/IGDN
+        (r"g_a/conv_(\d)/Conv_0", r"g_a.SEQTIMES2", "conv"),
+        (r"g_a/gdn_(\d)/(beta|gamma)", r"g_a.SEQ2IPLUS1.\2", "direct"),
+        (r"g_s/deconv_(\d)/ConvTranspose_0", r"g_s.SEQTIMES2", "deconv"),
+        (r"g_s/igdn_(\d)/(beta|gamma)", r"g_s.SEQ2IPLUS1.\2", "direct"),
+        (r"h_a/conv_(\d)/Conv_0", r"h_a.SEQTIMES2", "conv"),
+        (r"(h_mean_s|h_scale_s)/deconv_0/ConvTranspose_0", r"\1.0", "deconv"),
+        (r"(h_mean_s|h_scale_s)/deconv_1/ConvTranspose_0", r"\1.2", "deconv"),
+        (r"(h_mean_s|h_scale_s)/conv_0/Conv_0", r"\1.4", "conv"),
+    ]
+    rules += _slice_transform_rules()
+    rules += _entropy_bottleneck_rules()
+    return rules
+
+
+_RULES = {"cnn": _wacnn_rules, "stf": _stf_rules, "cc": _cc_rules}
 
 
 def _fix_key(key: str, path_joined: str) -> str:
-    """Post-process template placeholders: SEQTIMES2 (conv_i -> seq 2*i) and
-    PLUS1 (residual unit index shift)."""
+    """Post-process template placeholders: SEQTIMES2 (conv_i -> seq 2*i),
+    SEQ2IPLUS1 (gdn_i -> seq 2*i+1), PLUS1 (residual unit index shift)."""
     if "SEQTIMES2" in key:
         m = re.search(r"conv_(\d)", path_joined)
         key = key.replace("SEQTIMES2", str(2 * int(m.group(1))))
+    if "SEQ2IPLUS1" in key:
+        m = re.search(r"i?gdn_(\d)", path_joined)
+        key = key.replace("SEQ2IPLUS1", str(2 * int(m.group(1)) + 1))
     m = re.search(r"(\d)PLUS1", key)
     if m:
         key = key.replace(m.group(0), str(int(m.group(1)) + 1))

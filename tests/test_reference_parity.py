@@ -251,3 +251,43 @@ class TestSTFParity:
             ref_bits = -np.log2(ref_out["likelihoods"][key].numpy()).sum()
             my_bits = -np.log2(np.asarray(out["likelihoods"][key])).sum()
             np.testing.assert_allclose(my_bits, ref_bits, rtol=2e-3)
+
+
+class TestCCParity:
+    @pytest.fixture(scope="class")
+    def pair(self, ref):
+        import torch
+
+        torch.manual_seed(0)
+        import compressai.zoo
+
+        tmodel = compressai.zoo.models["cc"](192, 320).eval()
+
+        from stf_tpu.models import CC
+
+        my_model = CC()
+        params = _import_params("cc", my_model, tmodel)
+        return tmodel, my_model, params
+
+    def test_eval_forward_matches(self, pair):
+        import torch
+
+        import jax.numpy as jnp
+
+        tmodel, my_model, params = pair
+        rng = np.random.default_rng(3)
+        x = rng.random((1, 64, 64, 3)).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = tmodel(torch.from_numpy(to_nchw(x)))
+        out = my_model.apply({"params": params}, jnp.asarray(x), training=False)
+
+        np.testing.assert_allclose(
+            np.asarray(out["x_hat"]),
+            to_nhwc(ref_out["x_hat"].numpy()),
+            atol=5e-3,
+        )
+        for key in ("y", "z"):
+            ref_bits = -np.log2(ref_out["likelihoods"][key].numpy()).sum()
+            my_bits = -np.log2(np.asarray(out["likelihoods"][key])).sum()
+            np.testing.assert_allclose(my_bits, ref_bits, rtol=2e-3)
