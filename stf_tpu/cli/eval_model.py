@@ -67,34 +67,56 @@ def unpad(x: np.ndarray, box):
     return x[:, top : top + h, left : left + w, :]
 
 
-def inference(codec: Codec, x: np.ndarray, warm_shapes: set):
-    x_padded, box = pad_to_multiple(x)
+def inference(codec: Codec, xs, warm_shapes: set):
+    """Encode+decode a batch of same-shape images (xs: list of (1,H,W,3));
+    returns per-image metric dicts and reconstructions. Batching the
+    channel-AR walk amortizes program dispatches across the batch (see
+    PERF.md); per-image times are the batch time divided by the batch."""
+    padded, boxes = zip(*[pad_to_multiple(x) for x in xs])
+    batch = np.concatenate(padded, axis=0)
+    n = batch.shape[0]
 
-    if x_padded.shape not in warm_shapes:
+    if batch.shape not in warm_shapes:
         # Warm-up: compile all shape-specialized programs outside the timer.
-        out_enc = codec.compress(x_padded)
+        out_enc = codec.compress(batch)
         codec.decompress(out_enc["strings"], out_enc["shape"])
-        warm_shapes.add(x_padded.shape)
+        warm_shapes.add(batch.shape)
 
     start = time.time()
-    out_enc = codec.compress(x_padded)
-    enc_time = time.time() - start
+    out_enc = codec.compress(batch)
+    enc_time = (time.time() - start) / n
 
     start = time.time()
     out_dec = codec.decompress(out_enc["strings"], out_enc["shape"])
-    dec_time = time.time() - start
+    x_hat_batch = np.asarray(out_dec["x_hat"], np.float32)
+    dec_time = (time.time() - start) / n
 
-    x_hat = unpad(np.asarray(out_dec["x_hat"]), box)
-    num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
-    bpp = sum(len(s[0]) for s in out_enc["strings"]) * 8.0 / num_pixels
-    mse = float(np.mean((x - x_hat) ** 2))
-    return {
-        "psnr": -10 * math.log10(mse),
-        "ms-ssim": float(ms_ssim(jnp.asarray(x), jnp.asarray(x_hat))),
-        "bpp": bpp,
-        "encoding_time": enc_time,
-        "decoding_time": dec_time,
-    }, x_hat
+    # the batch shares one y stream; apportion its bytes per image by
+    # latent area (equal here since shapes match), z streams are per image
+    y_bytes = sum(len(s) for s in out_enc["strings"][0]) / n
+    z_bytes = [len(s) for s in out_enc["strings"][1]]
+
+    results = []
+    for i, (x, box) in enumerate(zip(xs, boxes)):
+        x_hat = unpad(x_hat_batch[i : i + 1], box)
+        num_pixels = x.shape[1] * x.shape[2]
+        bpp = (y_bytes + z_bytes[i]) * 8.0 / num_pixels
+        mse = float(np.mean((x - x_hat) ** 2))
+        results.append(
+            (
+                {
+                    "psnr": -10 * math.log10(mse),
+                    "ms-ssim": float(
+                        ms_ssim(jnp.asarray(x), jnp.asarray(x_hat))
+                    ),
+                    "bpp": bpp,
+                    "encoding_time": enc_time,
+                    "decoding_time": dec_time,
+                },
+                x_hat,
+            )
+        )
+    return results
 
 
 def inference_entropy_estimation(model, params, x: np.ndarray, apply_jit):
@@ -127,6 +149,7 @@ def eval_model(
     recon_path="reconstruction",
     verbose=False,
     half=False,
+    batch_size=1,
 ):
     if half:
         params = jax.tree_util.tree_map(
@@ -147,24 +170,46 @@ def eval_model(
     warm_shapes: set = set()
     os.makedirs(recon_path, exist_ok=True)
 
-    for f in filepaths:
-        if verbose:
-            print(f, file=sys.stderr)
-        x = load_image(f)[None]  # (1, H, W, 3)
-        if entropy_estimation:
-            rv, x_hat = inference_entropy_estimation(model, params, x, apply_jit)
-        else:
-            rv, x_hat = inference(codec, x, warm_shapes)
+    def save_recon(path, x_hat):
         try:
             from PIL import Image
 
             Image.fromarray(
                 (np.clip(x_hat[0], 0, 1) * 255 + 0.5).astype(np.uint8)
-            ).save(os.path.join(recon_path, os.path.basename(f)))
+            ).save(os.path.join(recon_path, os.path.basename(path)))
         except Exception:
             pass
-        for k, v in rv.items():
-            metrics[k] += v
+
+    if entropy_estimation:
+        for f in filepaths:
+            if verbose:
+                print(f, file=sys.stderr)
+            x = load_image(f)[None]
+            rv, x_hat = inference_entropy_estimation(
+                model, params, x, apply_jit
+            )
+            save_recon(f, x_hat)
+            for k, v in rv.items():
+                metrics[k] += v
+        return {k: v / len(filepaths) for k, v in metrics.items()}
+
+    # group same-shape images so the codec's batched walk amortizes
+    # dispatches (Kodak is uniform; CLIC buckets by shape)
+    groups = collections.defaultdict(list)
+    for f in filepaths:
+        x = load_image(f)[None]
+        groups[x.shape].append((f, x))
+    for shape, items in groups.items():
+        for lo in range(0, len(items), batch_size):
+            chunk = items[lo : lo + batch_size]
+            if verbose:
+                for f, _ in chunk:
+                    print(f, file=sys.stderr)
+            results = inference(codec, [x for _, x in chunk], warm_shapes)
+            for (f, _), (rv, x_hat) in zip(chunk, results):
+                save_recon(f, x_hat)
+                for k, v in rv.items():
+                    metrics[k] += v
 
     return {k: v / len(filepaths) for k, v in metrics.items()}
 
@@ -181,6 +226,13 @@ def setup_args():
         default=stf_tpu.available_entropy_coders()[0],
     )
     p.add_argument("--entropy-estimation", action="store_true")
+    p.add_argument(
+        "--batch-size",
+        type=int,
+        default=1,
+        help="encode/decode same-shape images together (amortizes program "
+        "dispatches; per-image times are batch time / batch size)",
+    )
     p.add_argument(
         "--half",
         action="store_true",
@@ -229,6 +281,7 @@ def main(argv=None):
                 args.recon_path,
                 args.verbose,
                 half=args.half,
+                batch_size=args.batch_size,
             )
             for k, v in metrics.items():
                 results[k].append(v)

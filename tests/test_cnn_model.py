@@ -203,3 +203,22 @@ class TestCompressDecompress:
             len(s) * 8 for group in out_enc["strings"] for s in group
         )
         assert real_bits < theo_bits * 1.15 + 512
+
+
+class TestMsSsimTraining:
+    def test_ms_ssim_metric_trains(self):
+        """RD training with the ms-ssim distortion (the reference's
+        ms-ssim-optimized recipe) must be differentiable under jit."""
+        import jax.numpy as jnp
+
+        from stf_tpu.training import create_train_state, make_train_step
+
+        model = WACNN(N=16, M=24, num_slices=2, max_support_slices=1)
+        state = create_train_state(
+            model, jax.random.key(0), input_shape=(1, 192, 192, 3)
+        )
+        step = jax.jit(make_train_step(model, lmbda=10.0, metric="ms-ssim"))
+        x = jax.random.uniform(jax.random.key(1), (1, 192, 192, 3))
+        state, metrics = step(state, x, jax.random.key(2))
+        assert np.isfinite(float(metrics["loss"]))
+        assert 0 <= float(metrics["distortion"]) <= 1.5

@@ -123,3 +123,33 @@ def test_eval_cli_entropy_estimation(tiny_dataset, tiny_registry, tmp_path, caps
     result = json.loads(capsys.readouterr().out)
     assert result["description"] == "Inference (entropy estimation)"
     assert result["results"]["bpp"][0] > 0
+
+
+def test_eval_cli_batched(tiny_dataset, tiny_registry, tmp_path, capsys):
+    """--batch-size groups same-shape images through one codec walk."""
+    import jax
+
+    from stf_tpu.cli.eval_model import main as eval_main
+    from stf_tpu.training import create_train_state
+    from stf_tpu.zoo import models, save_checkpoint
+
+    model = models[tiny_registry]()
+    state = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+    )
+    ckpt = str(tmp_path / "mb.msgpack")
+    save_checkpoint(ckpt, tiny_registry, state.params)
+
+    eval_main(
+        [
+            "-d", os.path.join(tiny_dataset, "test"),
+            "-a", tiny_registry,
+            "-p", ckpt,
+            "-r", str(tmp_path / "recon_b"),
+            "--batch-size", "2",
+        ]
+    )
+    result = json.loads(capsys.readouterr().out)
+    r = result["results"]
+    assert r["bpp"][0] > 0 and np.isfinite(r["psnr"][0])
+    assert len(os.listdir(tmp_path / "recon_b")) == 2
