@@ -15,7 +15,11 @@ import numpy as np
 
 from ._build import build_library
 
-_lib = ctypes.CDLL(build_library())
+try:
+    _lib = ctypes.CDLL(build_library())
+except OSError:
+    # stale/foreign binary (different arch or libc): force a rebuild
+    _lib = ctypes.CDLL(build_library(force=True))
 
 _i32p = ctypes.POINTER(ctypes.c_int32)
 _u8p = ctypes.POINTER(ctypes.c_uint8)

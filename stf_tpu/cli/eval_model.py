@@ -11,7 +11,8 @@ Usage:
 
 TPU notes: images of the same padded shape share one compiled program;
 enc/dec times are measured after a warm-up pass per shape bucket so
-compilation is not billed to the codec (use --include-compile to bill it).
+compilation is not billed to the codec. `--batch-size N` groups same-shape
+images through one batched codec walk.
 """
 
 import argparse

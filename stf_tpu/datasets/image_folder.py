@@ -72,12 +72,12 @@ class ImageFolder:
         img = load_image(path)
         ph, pw = self.patch_size
         h, w = img.shape[:2]
-        # pad (reflect) if the image is smaller than the patch
+        # zero-pad if the image is smaller than the patch (the reference's
+        # RandomCrop(pad_if_needed=True) semantics; reflect would fail when
+        # the pad exceeds the image size)
         if h < ph or w < pw:
             img = np.pad(
-                img,
-                ((0, max(0, ph - h)), (0, max(0, pw - w)), (0, 0)),
-                mode="reflect",
+                img, ((0, max(0, ph - h)), (0, max(0, pw - w)), (0, 0))
             )
             h, w = img.shape[:2]
         if self.train:

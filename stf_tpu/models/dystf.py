@@ -184,13 +184,14 @@ class DyBasicLayer(nn.Module):
     merge: bool = False
     pruning_locs: Tuple[int, ...] = ()
     sparse_ratio: Tuple[float, ...] = ()
+    n_predictors: int = 0
 
     @nn.compact
     def __call__(self, x, training: bool = False, deterministic: bool = True):
         B, H, W, C = x.shape
         decisions = []
 
-        if not self.pruning_locs:
+        if not self.pruning_locs or self.n_predictors == 0:
             for i in range(self.depth):
                 dp = self.drop_path[i] if i < len(self.drop_path) else 0.0
                 x = SwinTransformerBlock(
@@ -208,7 +209,7 @@ class DyBasicLayer(nn.Module):
 
         predictors = [
             PredictorLG(self.dim, name=f"predictor_{p}")
-            for p in range(len(self.pruning_locs))
+            for p in range(self.n_predictors)
         ]
         tokens = x.reshape(B, H * W, C)
         state = tokens  # tokens before first prune; [x1,x2] after (training)
@@ -217,7 +218,10 @@ class DyBasicLayer(nn.Module):
         first_loc = self.pruning_locs[0]
         for i in range(self.depth):
             dp = self.drop_path[i] if i < len(self.drop_path) else 0.0
-            if p_idx < len(self.pruning_locs) and i == self.pruning_locs[p_idx]:
+            # membership check + sequential predictor counter: exactly the
+            # reference's runtime rule (`dystf.py:612-618`), including its
+            # shared-list quirks (see DYSTF.setup)
+            if p_idx < self.n_predictors and i in self.pruning_locs:
                 if training:
                     merged = (
                         state
@@ -293,19 +297,30 @@ class DYSTF(ChannelARModel):
         n_stages = len(self.depths)
         dpr = list(np.linspace(0, self.drop_path_rate, sum(self.depths)))
 
-        # map global pruning block indexes to per-stage local offsets
-        # (`dystf.py:736-745`)
-        stage_locs = {i: [] for i in range(n_stages)}
-        stage_ratios = {i: [] for i in range(n_stages)}
+        # Map global pruning block indexes to local offsets. The reference
+        # (`dystf.py:736-762`) passes the SAME mutable lists to every stage
+        # while appending to them, so at runtime every pruned stage sees the
+        # final accumulated (offset, ratio) lists — e.g. with the defaults,
+        # stage 2 prunes twice (offsets 1@0.9 and 3@0.7) and stage 3 prunes
+        # at 0.9, and the 0.5 entry is never reached. Each stage's predictor
+        # count is frozen at its construction time. We replicate those
+        # runtime semantics exactly (they are what the published recipe
+        # trains), via `n_predictors` + the shared entry lists.
+        entries = []  # (local offset, ratio), construction order
+        n_preds_at_stage = {}
         block_cnt = 0
         p = 0
         for i in range(n_stages):
             former = block_cnt
             block_cnt += self.depths[i]
             while p < len(self.pruning_locs) and block_cnt >= self.pruning_locs[p]:
-                stage_locs[i].append(self.pruning_locs[p] - former - 1)
-                stage_ratios[i].append(self.sparse_ratio[p])
+                entries.append(
+                    (self.pruning_locs[p] - former - 1, self.sparse_ratio[p])
+                )
                 p += 1
+            n_preds_at_stage[i] = len(entries)
+        shared_locs = tuple(e[0] for e in entries)
+        shared_ratios = tuple(e[1] for e in entries)
 
         layers = []
         for i in range(n_stages):
@@ -319,8 +334,9 @@ class DYSTF(ChannelARModel):
                     mlp_ratio=self.mlp_ratio,
                     drop_path=tuple(dpr[start : start + self.depths[i]]),
                     merge=i < n_stages - 1,
-                    pruning_locs=tuple(stage_locs[i]),
-                    sparse_ratio=tuple(stage_ratios[i]),
+                    pruning_locs=shared_locs,
+                    sparse_ratio=shared_ratios,
+                    n_predictors=n_preds_at_stage[i],
                     name=f"layer_{i}",
                 )
             )

@@ -45,12 +45,13 @@ def distill_pruning_loss(
         pos_ratio = jnp.mean(mask, axis=1)
         pred_loss = pred_loss + jnp.mean((pos_ratio - keep_ratio[i]) ** 2)
 
-    # KL between channelwise log-softmaxes of the reconstructions
-    # (torch F.kl_div(log_p, log_q, log_target=True, reduction="batchmean"))
+    # KL between log-softmaxes of the reconstructions over the image width
+    # axis — the reference's `dim=-1` on NCHW tensors is W
+    # (`dytrain.py:88-94`), which is axis=2 in our NHWC layout
     import jax
 
-    log_s = jax.nn.log_softmax(student_out["x_hat"], axis=-1)
-    log_t = jax.nn.log_softmax(teacher_out["x_hat"], axis=-1)
+    log_s = jax.nn.log_softmax(student_out["x_hat"], axis=2)
+    log_t = jax.nn.log_softmax(teacher_out["x_hat"], axis=2)
     B = batch.shape[0]
     cls_kl = jnp.sum(jnp.exp(log_t) * (log_t - log_s)) / B
 
@@ -205,6 +206,24 @@ def main(argv=None):
     )
     rng = jax.random.key(args.seed + 1)
 
+    # eval with the same distill criterion (reference test_epoch), no
+    # parameter update; defined once so the jit cache is reused every epoch
+    @jax.jit
+    def eval_parts(params, batch, rng_):
+        r1, r2, r3 = jax.random.split(rng_, 3)
+        s_out = student.apply(
+            {"params": params}, batch, training=True,
+            rngs={"noise": r1, "gumbel": r2, "droppath": r3},
+        )
+        t_out = teacher.apply(
+            {"params": teacher_params}, batch, training=False
+        )
+        _, parts = distill_pruning_loss(
+            s_out, t_out, batch, args.lmbda, keep_ratio,
+            args.ratio_weight, args.distill_weight, args.clf_weight,
+        )
+        return parts
+
     best_loss = float("inf")
     for epoch in range(last_epoch, args.epochs):
         t0 = time.time()
@@ -220,24 +239,6 @@ def main(argv=None):
                     f"kl {m['cls_kl']:.5f} token {m['token_kl']:.5f}"
                 )
 
-        # eval with the same distill criterion (reference test_epoch), no
-        # parameter update
-        @jax.jit
-        def eval_parts(params, batch, rng_):
-            r1, r2, r3 = jax.random.split(rng_, 3)
-            s_out = student.apply(
-                {"params": params}, batch, training=True,
-                rngs={"noise": r1, "gumbel": r2, "droppath": r3},
-            )
-            t_out = teacher.apply(
-                {"params": teacher_params}, batch, training=False
-            )
-            _, parts = distill_pruning_loss(
-                s_out, t_out, batch, args.lmbda, keep_ratio,
-                args.ratio_weight, args.distill_weight, args.clf_weight,
-            )
-            return parts
-
         totals, count = {}, 0
         for batch in test_ds.batches(args.batch_size, 0, args.num_workers):
             parts = eval_parts(state.params, jax.device_put(batch, data_sh), rng)
@@ -251,7 +252,8 @@ def main(argv=None):
         is_best = test_loss < best_loss
         best_loss = min(test_loss, best_loss)
         save_training_checkpoint(
-            args.save_dir, state, epoch, test_loss, args, is_best
+            args.save_dir, state, epoch, test_loss, args, is_best,
+            best_loss=best_loss,
         )
 
     return state

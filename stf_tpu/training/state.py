@@ -67,9 +67,14 @@ def create_train_state(
     aux_learning_rate: float = 1e-3,
     clip_max_norm: float = 1.0,
 ) -> TrainState:
-    params_rng, noise_rng = jax.random.split(rng)
+    params_rng, noise_rng, dp_rng, gumbel_rng = jax.random.split(rng, 4)
     variables = model.init(
-        {"params": params_rng, "noise": noise_rng},
+        {
+            "params": params_rng,
+            "noise": noise_rng,
+            "droppath": dp_rng,
+            "gumbel": gumbel_rng,
+        },
         jnp.zeros(input_shape, jnp.float32),
         training=True,
     )
@@ -94,8 +99,14 @@ def make_train_step(
     """
 
     def loss_fn(params, batch, rng):
+        # all stochastic streams any model family uses: quantization noise,
+        # stochastic depth (stf/tbc/dystf), Gumbel token masks (dystf)
+        r1, r2, r3 = jax.random.split(rng, 3)
         out = model.apply(
-            {"params": params}, batch, training=True, rngs={"noise": rng}
+            {"params": params},
+            batch,
+            training=True,
+            rngs={"noise": r1, "droppath": r2, "gumbel": r3},
         )
         rd = rate_distortion_loss(out, batch, lmbda, metric)
         aux = model.apply({"params": params}, method="aux_loss")

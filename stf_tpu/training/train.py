@@ -51,7 +51,11 @@ def parse_args(argv):
     return p.parse_args(argv)
 
 
-def save_training_checkpoint(save_dir, state, epoch, loss, args, is_best):
+def save_training_checkpoint(
+    save_dir, state, epoch, loss, args, is_best, best_loss=None
+):
+    if best_loss is None:
+        best_loss = loss
     import jax
     from flax import serialization
 
@@ -64,8 +68,8 @@ def save_training_checkpoint(save_dir, state, epoch, loss, args, is_best):
     path = os.path.join(save_dir, "checkpoint.msgpack")
     with open(path, "wb") as f:
         f.write(blob)
-    meta = {"epoch": epoch, "loss": float(loss), "model": args.model,
-            "lmbda": args.lmbda, "metric": args.metric}
+    meta = {"epoch": epoch, "loss": float(loss), "best_loss": float(best_loss),
+            "model": args.model, "lmbda": args.lmbda, "metric": args.metric}
     with open(path + ".json", "w") as f:
         json.dump(meta, f)
     # CLI-compatible params-only checkpoint
@@ -162,7 +166,8 @@ def main(argv=None):
     if args.checkpoint and os.path.exists(args.checkpoint):
         state, meta = restore_training_checkpoint(args.checkpoint, state)
         last_epoch = meta.get("epoch", 0) + 1
-        best_loss = meta.get("loss", best_loss)
+        # historical best (not the last epoch's loss) guards checkpoint_best
+        best_loss = meta.get("best_loss", meta.get("loss", best_loss))
         if main_proc:
             print(f"resumed from {args.checkpoint} at epoch {last_epoch}")
 
@@ -226,7 +231,8 @@ def main(argv=None):
             is_best = test_loss < best_loss
             best_loss = min(test_loss, best_loss)
             save_training_checkpoint(
-                args.save_dir, state, epoch, test_loss, args, is_best
+                args.save_dir, state, epoch, test_loss, args, is_best,
+                best_loss=best_loss,
             )
         sync_global_devices("epoch")
 

@@ -283,6 +283,12 @@ def main(argv=None):
         return optax.apply_updates(params, updates), opt_state
 
     rng = jax.random.key(args.seed + 1)
+
+    @jax.jit
+    def eval_loss(params, batch):
+        out = model.apply({"params": params}, batch, training=False)
+        return rate_distortion_loss(out, batch, args.lmbda).loss
+
     best_loss = float("inf")
     stopped = False
 
@@ -326,12 +332,6 @@ def main(argv=None):
 
         # eval + checkpoint
         totals, count = {}, 0
-
-        @jax.jit
-        def eval_loss(params, batch):
-            out = model.apply({"params": params}, batch, training=False)
-            return rate_distortion_loss(out, batch, args.lmbda).loss
-
         for batch in test_ds.batches(args.batch_size, 0, args.num_workers):
             totals["loss"] = totals.get("loss", 0.0) + float(
                 eval_loss(state.params, batch)
@@ -343,7 +343,8 @@ def main(argv=None):
         is_best = test_loss < best_loss
         best_loss = min(test_loss, best_loss)
         save_training_checkpoint(
-            args.save_dir, state, epoch, test_loss, args, is_best
+            args.save_dir, state, epoch, test_loss, args, is_best,
+            best_loss=best_loss,
         )
         if stopped:
             break
