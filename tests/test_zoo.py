@@ -90,3 +90,19 @@ def test_bf16_codec_roundtrip():
     # deterministic bf16 round trip
     dec2 = codec.decompress(enc["strings"], enc["shape"])
     np.testing.assert_array_equal(x_hat, np.asarray(dec2["x_hat"], np.float32))
+
+
+def test_flops_counter():
+    from stf_tpu.utils.flops import model_flops
+
+    model = WACNN(**SMALL)
+    variables = model.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3)),
+        training=False,
+    )
+    stats = model_flops(model, variables["params"], (1, 64, 64, 3))
+    assert stats["flops"] > 0
+    assert stats["params"] == sum(
+        p.size for p in jax.tree_util.tree_leaves(variables["params"])
+    )
