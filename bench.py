@@ -25,6 +25,9 @@ def main():
 
     from stf_tpu.models import Codec, WACNN
     from stf_tpu.training import create_train_state
+    from stf_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     model = WACNN()  # full-size flagship: N=192, M=320, 10 slices
     state = create_train_state(

@@ -254,6 +254,9 @@ def setup_args():
 
 
 def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = setup_args().parse_args(argv)
     filepaths = collect_images(args.dataset)
     if not filepaths:
