@@ -21,14 +21,24 @@ import numpy as np
 
 
 def strip_prefixes(state_dict: Dict) -> Dict:
-    """Strip DataParallel's `module.` prefix; drop legacy `h_s.` keys and
-    stale CDF buffers."""
+    """Strip DataParallel's `module.` prefix, drop legacy `h_s.` keys, and
+    rename legacy ParameterList bottleneck keys (`_biases.0` -> `_bias0`,
+    same for matrices/factors) — the reference's `load_pretrained`
+    semantics (`zoo/pretrained.py:19-50`)."""
     out = {}
     for k, v in state_dict.items():
         if k.startswith("module."):
             k = k[len("module."):]
         if k.startswith("h_s."):
             continue
+        for plural, singular in (
+            ("._biases.", "._bias"),
+            ("._matrices.", "._matrix"),
+            ("._factors.", "._factor"),
+        ):
+            if plural in k:
+                head, idx = k.rsplit(".", 1)
+                k = head.replace(plural[:-1], singular) + idx
         out[k] = v
     return out
 

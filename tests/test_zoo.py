@@ -106,3 +106,19 @@ def test_flops_counter():
     assert stats["params"] == sum(
         p.size for p in jax.tree_util.tree_leaves(variables["params"])
     )
+
+
+def test_strip_prefixes_legacy_parameterlist():
+    from stf_tpu.zoo.torch_import import strip_prefixes
+
+    sd = {
+        "module.entropy_bottleneck._biases.0": 1,
+        "entropy_bottleneck._matrices.3": 2,
+        "entropy_bottleneck._factors.2": 3,
+        "h_s.conv.weight": 5,
+    }
+    assert strip_prefixes(sd) == {
+        "entropy_bottleneck._bias0": 1,
+        "entropy_bottleneck._matrix3": 2,
+        "entropy_bottleneck._factor2": 3,
+    }
