@@ -52,12 +52,12 @@ def main():
     out = codec.compress(batch)
     codec.decompress(out["strings"], out["shape"])
 
-    # Best of 2 measured iterations: the tunneled link has high run-to-run
+    # Best of 3 measured iterations: the tunneled link has high run-to-run
     # variance. (A staged half-batch pipeline — decode(b1) overlapping
     # encode(b2) — measured *slower* here, 2.46 vs 3.15 img/s: the tunnel
     # itself is the serial resource; see PERF.md.)
     elapsed = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         start = time.time()
         out_enc = codec.compress(batch)
         t_enc = time.time() - start

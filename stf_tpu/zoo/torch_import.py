@@ -219,6 +219,69 @@ def _stf_rules():
     return rules
 
 
+def _dystf_rules():
+    """DYSTF (`compressai/models/dystf.py`): STF plus PredictorLG scorers
+    and Ada blocks' fastMlp tails in the analysis stages."""
+    rules = _stf_rules()
+    rules += [
+        # PredictorLG: in_conv = (LN, Linear, GELU); out_conv = (Linear,
+        # GELU, Linear, GELU, Linear, LogSoftmax)
+        (r"layer_(\d)/predictor_(\d)/in_norm",
+         r"layers.\1.score_predictor.\2.in_conv.0", "ln"),
+        (r"layer_(\d)/predictor_(\d)/in_fc",
+         r"layers.\1.score_predictor.\2.in_conv.1", "dense"),
+        (r"layer_(\d)/predictor_(\d)/out_fc1",
+         r"layers.\1.score_predictor.\2.out_conv.0", "dense"),
+        (r"layer_(\d)/predictor_(\d)/out_fc2",
+         r"layers.\1.score_predictor.\2.out_conv.2", "dense"),
+        (r"layer_(\d)/predictor_(\d)/out_fc3",
+         r"layers.\1.score_predictor.\2.out_conv.4", "dense"),
+        # fastMlp: fc1 = (LayerNorm, Linear)
+        (r"layer_(\d)/block_(\d)/fastmlp/norm",
+         r"layers.\1.blocks.\2.fastmlp.fc1.0", "ln"),
+        (r"layer_(\d)/block_(\d)/fastmlp/fc1",
+         r"layers.\1.blocks.\2.fastmlp.fc1.1", "dense"),
+    ]
+    return rules
+
+
+def _swin_stage_rules(flax_prefix: str, torch_prefix: str, resample: str):
+    """Rules for one stack of Swin stages (`tbc.py:265-351` BasicLayers):
+    flax `<prefix>/stage_i/{block_j, downsample|upsample}` to torch
+    `<prefix>.i.{blocks.j, downsample}` (the reference names PatchSplit
+    attrs `downsample` too)."""
+    f, t = flax_prefix, torch_prefix
+    return [
+        (rf"{f}/stage_(\d)/{resample}/norm", rf"{t}.\1.downsample.norm", "ln"),
+        (rf"{f}/stage_(\d)/{resample}/reduction",
+         rf"{t}.\1.downsample.reduction", "dense"),
+        (rf"{f}/stage_(\d)/block_(\d)/norm([12])",
+         rf"{t}.\1.blocks.\2.norm\3", "ln"),
+        (rf"{f}/stage_(\d)/block_(\d)/attn/(qkv|proj)",
+         rf"{t}.\1.blocks.\2.attn.\3", "dense"),
+        (rf"{f}/stage_(\d)/block_(\d)/attn/relative_position_bias_table",
+         rf"{t}.\1.blocks.\2.attn.relative_position_bias_table", "direct"),
+        (rf"{f}/stage_(\d)/block_(\d)/mlp/(fc[12])",
+         rf"{t}.\1.blocks.\2.mlp.\3", "dense"),
+    ]
+
+
+def _tbc_rules():
+    """TBC (`compressai/models/tbc.py:388-591`): merge-first analysis /
+    split-last synthesis stacks, transformer hyper stacks, 5-conv slice
+    transforms. The reference's unused patch_embed/end_conv have no flax
+    counterparts and are ignored."""
+    rules = []
+    rules += _swin_stage_rules("ana", "layers", "downsample")
+    rules += _swin_stage_rules("syn", "syn_layers", "upsample")
+    rules += _swin_stage_rules("h_a", "h_a", "downsample")
+    rules += _swin_stage_rules("h_mean_s", "h_mean_s", "upsample")
+    rules += _swin_stage_rules("h_scale_s", "h_scale_s", "upsample")
+    rules += _slice_transform_rules()
+    rules += _entropy_bottleneck_rules()
+    return rules
+
+
 def _cc_rules():
     """CC (`compressai/models/CC.py:23-104`): conv/GDN g_a & g_s, ReLU
     hyper, 3-conv slice stacks."""
@@ -238,7 +301,13 @@ def _cc_rules():
     return rules
 
 
-_RULES = {"cnn": _wacnn_rules, "stf": _stf_rules, "cc": _cc_rules}
+_RULES = {
+    "cnn": _wacnn_rules,
+    "stf": _stf_rules,
+    "cc": _cc_rules,
+    "dystf": _dystf_rules,
+    "tbc": _tbc_rules,
+}
 
 
 def _fix_key(key: str, path_joined: str) -> str:

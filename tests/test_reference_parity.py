@@ -291,3 +291,97 @@ class TestCCParity:
             ref_bits = -np.log2(ref_out["likelihoods"][key].numpy()).sum()
             my_bits = -np.log2(np.asarray(out["likelihoods"][key])).sum()
             np.testing.assert_allclose(my_bits, ref_bits, rtol=2e-3)
+
+
+class TestDYSTFParity:
+    """The most intricate model: dynamic token pruning with eval-time top-k
+    routing. Eval forward is deterministic, so imported random reference
+    weights must reproduce x_hat and rates."""
+
+    @pytest.fixture(scope="class")
+    def pair(self, ref):
+        import torch
+
+        torch.manual_seed(0)
+        import compressai.zoo
+
+        tmodel = compressai.zoo.models["dystf"]().eval()
+
+        from stf_tpu.models import DYSTF
+
+        my_model = DYSTF()
+        params = _import_params("dystf", my_model, tmodel)
+        return tmodel, my_model, params
+
+    def test_eval_forward_matches(self, pair):
+        import torch
+
+        import jax.numpy as jnp
+
+        tmodel, my_model, params = pair
+        rng = np.random.default_rng(4)
+        x = rng.random((1, 64, 64, 3)).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = tmodel(torch.from_numpy(to_nchw(x)))
+        out = my_model.apply({"params": params}, jnp.asarray(x), training=False)
+
+        # same token keep/drop sets at every pruning point
+        for (my_keep, _), ref_dec in zip(
+            out["decisions"], ref_out["decisions"]
+        ):
+            ref_keep = ref_dec[0].numpy()
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(my_keep), axis=1),
+                np.sort(ref_keep, axis=1),
+            )
+
+        np.testing.assert_allclose(
+            np.asarray(out["x_hat"]),
+            to_nhwc(ref_out["x_hat"].numpy()),
+            atol=5e-3,
+        )
+        for key in ("y", "z"):
+            ref_bits = -np.log2(ref_out["likelihoods"][key].numpy()).sum()
+            my_bits = -np.log2(np.asarray(out["likelihoods"][key])).sum()
+            np.testing.assert_allclose(my_bits, ref_bits, rtol=2e-3)
+
+
+class TestTBCParity:
+    @pytest.fixture(scope="class")
+    def pair(self, ref):
+        import torch
+
+        torch.manual_seed(0)
+        import compressai.zoo
+
+        tmodel = compressai.zoo.models["tbc"]().eval()
+
+        from stf_tpu.models import TransformerBasedCoding
+
+        my_model = TransformerBasedCoding()
+        params = _import_params("tbc", my_model, tmodel)
+        return tmodel, my_model, params
+
+    def test_eval_forward_matches(self, pair):
+        import torch
+
+        import jax.numpy as jnp
+
+        tmodel, my_model, params = pair
+        rng = np.random.default_rng(5)
+        x = rng.random((1, 64, 64, 3)).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = tmodel(torch.from_numpy(to_nchw(x)))
+        out = my_model.apply({"params": params}, jnp.asarray(x), training=False)
+
+        np.testing.assert_allclose(
+            np.asarray(out["x_hat"]),
+            to_nhwc(ref_out["x_hat"].numpy()),
+            atol=5e-3,
+        )
+        for key in ("y", "z"):
+            ref_bits = -np.log2(ref_out["likelihoods"][key].numpy()).sum()
+            my_bits = -np.log2(np.asarray(out["likelihoods"][key])).sum()
+            np.testing.assert_allclose(my_bits, ref_bits, rtol=2e-3)
