@@ -140,3 +140,39 @@ class CC_GD(ChannelARModel):
 
     def synthesis(self, y_hat):
         return self.g_s(y_hat)
+
+
+def init_cc_gd_from_cc(cc_params, cc_gd_params):
+    """Load a (possibly trained/imported) CC param tree into a CC_GD tree —
+    the reference's KEY_TABLE flow (`CC_gd.py:357-556`), which starts
+    gate-decorator pruning from a dense CC checkpoint. Gates and masks stay
+    at their all-ones init, so the returned model computes exactly what the
+    CC did.
+
+    Structural correspondences (our naming):
+      g_a / g_s / entropy_bottleneck: identical subtrees
+      h_a: ConvGeluStack conv_i -> GatedStack conv_i
+      h_mean_s / h_scale_s: CCHyperSynthesis {deconv_0, deconv_1, conv_0}
+        -> GatedStack {deconv_0, deconv_1, conv_2}
+      slice transforms: CCSliceTransform stack/conv_j -> GatedStack conv_j
+    """
+    import copy
+
+    out = copy.deepcopy(cc_gd_params)
+    out["g_a"] = copy.deepcopy(cc_params["g_a"])
+    out["g_s"] = copy.deepcopy(cc_params["g_s"])
+    out["entropy_bottleneck"] = copy.deepcopy(cc_params["entropy_bottleneck"])
+
+    for i in range(3):
+        out["h_a"][f"conv_{i}"] = copy.deepcopy(cc_params["h_a"][f"conv_{i}"])
+    for name in ("h_mean_s", "h_scale_s"):
+        out[name]["deconv_0"] = copy.deepcopy(cc_params[name]["deconv_0"])
+        out[name]["deconv_1"] = copy.deepcopy(cc_params[name]["deconv_1"])
+        out[name]["conv_2"] = copy.deepcopy(cc_params[name]["conv_0"])
+    for key in cc_params:
+        if key.startswith(("cc_mean_", "cc_scale_", "lrp_")):
+            for j in range(3):
+                out[key][f"conv_{j}"] = copy.deepcopy(
+                    cc_params[key]["stack"][f"conv_{j}"]
+                )
+    return out

@@ -114,3 +114,36 @@ def test_prune_export(model_params, tmp_path):
     assert ha["conv_0"][inner]["kernel"].shape[-1] == kept0
     cinner = next(iter(ha["conv_1"]))
     assert ha["conv_1"][cinner]["kernel"].shape[2] == kept0
+
+
+def test_init_from_cc_matches_cc_forward():
+    """CC_GD seeded from a CC checkpoint (gates/masks at ones) must compute
+    exactly what the CC computes — the reference's KEY_TABLE bootstrap."""
+    from stf_tpu.models.cc import CC
+    from stf_tpu.models.cc_gd import init_cc_gd_from_cc
+
+    cc = CC(**SMALL)
+    cc_vars = cc.init(
+        {"params": jax.random.key(1), "noise": jax.random.key(2)},
+        jnp.zeros((1, 64, 64, 3)),
+        training=False,
+    )
+    gd = CC_GD(**SMALL)
+    gd_vars = gd.init(
+        {"params": jax.random.key(3), "noise": jax.random.key(4)},
+        jnp.zeros((1, 64, 64, 3)),
+        training=False,
+    )
+    gd_params = init_cc_gd_from_cc(cc_vars["params"], gd_vars["params"])
+
+    x = jax.random.uniform(jax.random.key(5), (1, 64, 64, 3))
+    out_cc = cc.apply({"params": cc_vars["params"]}, x, training=False)
+    out_gd = gd.apply({"params": gd_params}, x, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out_gd["x_hat"]), np.asarray(out_cc["x_hat"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_gd["likelihoods"]["y"]),
+        np.asarray(out_cc["likelihoods"]["y"]),
+        rtol=1e-4,
+    )
