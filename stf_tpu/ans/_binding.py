@@ -86,6 +86,13 @@ def _i32_ptr(a):
     return a.ctypes.data_as(_i32p)
 
 
+def _check_indexes(indexes, cdfs):
+    """Out-of-range CDF row indexes would make the native CdfView read out
+    of bounds (crash/garbage); raise a Python error instead."""
+    if indexes.size and (indexes.min() < 0 or indexes.max() >= cdfs.shape[0]):
+        raise ValueError("index out of range of the CDF table")
+
+
 class BufferedRansEncoder:
     """Accumulates symbols across calls, then encodes them all in one flush.
 
@@ -110,10 +117,7 @@ class BufferedRansEncoder:
         cdfs = _as_cdf_table(cdfs)
         cdf_lengths = _as_i32(cdf_lengths)
         offsets = _as_i32(offsets)
-        if indexes.size and (
-            indexes.min() < 0 or indexes.max() >= cdfs.shape[0]
-        ):
-            raise ValueError("index out of range of the CDF table")
+        _check_indexes(indexes, cdfs)
         _lib.stf_encoder_buffer(
             self._handle,
             _i32_ptr(symbols), _i32_ptr(indexes), symbols.size,
@@ -161,6 +165,7 @@ class RansDecoder:
         cdfs = _as_cdf_table(cdfs)
         cdf_lengths = _as_i32(cdf_lengths)
         offsets = _as_i32(offsets)
+        _check_indexes(indexes, cdfs)
         buf = np.frombuffer(stream, dtype=np.uint8)
         out = np.empty(indexes.size, dtype=np.int32)
         n = _lib.stf_decode_with_indexes(
@@ -186,6 +191,7 @@ class RansDecoder:
         cdfs = _as_cdf_table(cdfs)
         cdf_lengths = _as_i32(cdf_lengths)
         offsets = _as_i32(offsets)
+        _check_indexes(indexes, cdfs)
         out = np.empty(indexes.size, dtype=np.int32)
         n = _lib.stf_decoder_decode_stream(
             self._handle,

@@ -10,6 +10,7 @@ buffering host->HBM transfers against TPU compute).
 import os
 import threading
 import queue as queue_mod
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence, Tuple
 
@@ -113,14 +114,26 @@ class ImageFolder:
         item_rngs = [
             np.random.default_rng((self.seed, epoch, int(i))) for i in order
         ]
+        # Bounded in-flight window: decoded patches are O(window) in memory
+        # regardless of dataset size (submitting every file up front would
+        # hold tens of GB of decoded crops on a 300k-image training set).
+        window = max(2 * num_workers, batch_size)
+        items = iter(zip(order, item_rngs))
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
-            futures = [
-                pool.submit(self._load_patch, self.files[i], r)
-                for i, r in zip(order, item_rngs)
-            ]
+            pending: deque = deque()
+            for i, r in items:
+                pending.append(pool.submit(self._load_patch, self.files[i], r))
+                if len(pending) >= window:
+                    break
             batch = []
-            for fut in futures:
-                batch.append(fut.result())
+            while pending:
+                batch.append(pending.popleft().result())
+                nxt = next(items, None)
+                if nxt is not None:
+                    i, r = nxt
+                    pending.append(
+                        pool.submit(self._load_patch, self.files[i], r)
+                    )
                 if len(batch) == batch_size:
                     yield np.stack(batch)
                     batch = []
@@ -128,9 +141,21 @@ class ImageFolder:
                 yield np.stack(batch)
 
 
-def prefetch_to_device(iterator, size: int = 2, sharding=None):
-    """Double-buffer host batches onto the device (optionally sharded)."""
+def prefetch_to_device(iterator, size: int = 2, sharding=None, put=None):
+    """Double-buffer host batches onto the device, overlapping H2D transfer
+    with device compute.
+
+    `put` is an optional transfer callable (e.g. wrapping
+    `jax.make_array_from_process_local_data` for multi-host); when absent,
+    batches go through `jax.device_put` (with `sharding` if given).
+    """
     import jax
+
+    if put is None:
+        def put(batch):
+            if sharding is not None:
+                return jax.device_put(batch, sharding)
+            return jax.device_put(batch)
 
     q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
     _END = object()
@@ -138,13 +163,10 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     def producer():
         try:
             for batch in iterator:
-                if sharding is not None:
-                    batch = jax.device_put(batch, sharding)
-                else:
-                    batch = jax.device_put(batch)
-                q.put(batch)
-        finally:
+                q.put(put(batch))
             q.put(_END)
+        except BaseException as e:  # surface loader errors in the consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -152,4 +174,6 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

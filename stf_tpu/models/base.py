@@ -76,7 +76,13 @@ class ChannelARModel(nn.Module):
         self.entropy_bottleneck
         num_slices / max_support_slices attributes
         analysis(x) -> y  and  synthesis(y_hat) -> x_hat  methods
+
+    `hyper_upsample` is the spatial factor between the hyper latent z and
+    the latent y (all current families use two stride-2 hyper stages → 4);
+    the decoder derives y's spatial shape from z's through it.
     """
+
+    hyper_upsample: int = 4
 
     def analysis(self, x):
         raise NotImplementedError

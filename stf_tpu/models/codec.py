@@ -250,7 +250,8 @@ class Codec:
     def decompress(self, strings: Sequence, shape) -> Dict[str, Any]:
         y_strings, z_strings = strings[0], strings[1]
         z_hat = jnp.asarray(self.eb_coder.decompress(z_strings, shape))
-        y_shape = (shape[0] * 4, shape[1] * 4)
+        up = self.model.hyper_upsample
+        y_shape = (shape[0] * up, shape[1] * up)
         latent_means, latent_scales = self._hyper(self.params, z_hat, y_shape)
 
         cdf, lengths, offsets = self.gc_coder.tables.astuple()

@@ -198,7 +198,8 @@ def main(argv=None):
             num_workers=args.num_workers,
             shard=(jax.process_index(), n_proc),
         )
-        for i, batch in enumerate(map(put_global, it)):
+        # double-buffered H2D: upload batch i+1 while the device runs step i
+        for i, batch in enumerate(prefetch_to_device(it, size=2, put=put_global)):
             state, metrics = p_train_step(state, batch, rng)
             if main_proc and i % args.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}

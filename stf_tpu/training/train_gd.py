@@ -65,17 +65,20 @@ def prune_masks(params, scores, num: int = 5, minimal_frac: float = 0.04):
     keep floors). Returns an updated params tree (mask surgery only)."""
     import jax
 
-    # global soft threshold over currently-unmasked channels
+    # global soft threshold over currently-unmasked channels: prune the
+    # `num` lowest-scoring alive channels (strict > keeps everything above
+    # the num-th lowest; ties at the threshold are pruned together, matching
+    # the reference's threshold-based tick semantics)
     alive_scores = []
     for path, _, mask in iter_gate_paths(params):
         s = scores.get(path)
         if s is None:
             continue
         alive_scores.append(s[np.asarray(mask) > 0])
-    if not alive_scores:
+    if not alive_scores or num <= 0:
         return params
     flat = np.sort(np.concatenate(alive_scores))
-    threshold = flat[min(num, len(flat) - 1)]
+    threshold = flat[min(num, len(flat)) - 1]
 
     params = jax.tree_util.tree_map(np.asarray, params)
 
@@ -97,6 +100,28 @@ def prune_masks(params, scores, num: int = 5, minimal_frac: float = 0.04):
 
     apply(params)
     return params
+
+
+def make_gate_tx(learning_rate: float):
+    """Tick-phase optimizer: Adam on gate leaves, everything else frozen.
+
+    Built with multi_transform + set_to_zero, NOT optax.masked: masked
+    passes the unmasked leaves' raw gradients through unchanged, which
+    apply_updates would ADD to the frozen params — silent gradient ascent
+    on every non-gate parameter during tick batches.
+    """
+    import jax
+    import optax
+
+    return optax.multi_transform(
+        {"gate": optax.adam(learning_rate), "rest": optax.set_to_zero()},
+        lambda params: jax.tree_util.tree_map_with_path(
+            lambda path, _: "gate"
+            if any(getattr(k, "key", None) == "gate" for k in path)
+            else "rest",
+            params,
+        ),
+    )
 
 
 def param_scale(params) -> float:
@@ -257,15 +282,7 @@ def main(argv=None):
 
     # tick step: gradients w.r.t. everything (for scores) but only gates are
     # updated, mirroring the reference's frozen-parameter tick optimizer
-    gate_tx = optax.masked(
-        optax.adam(args.learning_rate),
-        lambda params: jax.tree_util.tree_map_with_path(
-            lambda path, _: any(
-                getattr(k, "key", None) == "gate" for k in path
-            ),
-            params,
-        ),
-    )
+    gate_tx = make_gate_tx(args.learning_rate)
 
     @jax.jit
     def tick_grads(params, batch, rng):

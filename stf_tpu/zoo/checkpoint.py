@@ -1,9 +1,9 @@
 """Native checkpoint save/load (msgpack params + JSON config sidecar).
 
-Training checkpoints with full optimizer state use orbax (see
-stf_tpu/training/train.py); this module is the lightweight format for
-published/eval checkpoints — the analog of the reference's
-`state_dict`-only .pth.tar files.
+Training checkpoints with full optimizer state are flax-serialized msgpack
+(`stf_tpu/training/train.py:save_training_checkpoint`); this module is the
+lightweight format for published/eval checkpoints — the analog of the
+reference's `state_dict`-only .pth.tar files.
 """
 
 import json

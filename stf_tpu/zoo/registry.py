@@ -1,24 +1,17 @@
 """Model registry (reference `compressai/zoo/__init__.py:20-27`).
 
 Names match the reference CLI names so eval/training commands are drop-in:
-cnn, stf, tbc, cc, cc_gd, dystf.
+cnn, stf, tbc, cc, cc_gd, dystf. Imports are deliberately unguarded — a
+broken model module must fail loudly at import time, not silently vanish
+from the registry.
 """
 
 from ..models import WACNN
-
-_REGISTRY = {}
-
-
-def register(name):
-    def deco(ctor):
-        _REGISTRY[name] = ctor
-        return ctor
-
-    return deco
-
-
-def _available():
-    return dict(_REGISTRY)
+from ..models.cc import CC
+from ..models.cc_gd import CC_GD
+from ..models.dystf import DYSTF
+from ..models.stf import SymmetricalTransFormer
+from ..models.tbc import TransformerBasedCoding
 
 
 class _Models(dict):
@@ -28,44 +21,14 @@ class _Models(dict):
         )
 
 
-models = _Models()
-
-
-def _register_builtin():
-    models["cnn"] = WACNN
-    try:
-        from ..models.stf import SymmetricalTransFormer
-
-        models["stf"] = SymmetricalTransFormer
-    except ImportError:
-        pass
-    try:
-        from ..models.cc import CC
-
-        models["cc"] = CC
-    except ImportError:
-        pass
-    try:
-        from ..models.tbc import TransformerBasedCoding
-
-        models["tbc"] = TransformerBasedCoding
-    except ImportError:
-        pass
-    try:
-        from ..models.cc_gd import CC_GD
-
-        models["cc_gd"] = CC_GD
-    except ImportError:
-        pass
-    try:
-        from ..models.dystf import DYSTF
-
-        models["dystf"] = DYSTF
-    except ImportError:
-        pass
-
-
-_register_builtin()
+models = _Models(
+    cnn=WACNN,
+    stf=SymmetricalTransFormer,
+    tbc=TransformerBasedCoding,
+    dystf=DYSTF,
+    cc=CC,
+    cc_gd=CC_GD,
+)
 
 
 def create_model(name: str, **kwargs):

@@ -301,10 +301,58 @@ def _cc_rules():
     return rules
 
 
+def _cc_gd_rules():
+    """CC_GD (`compressai/models/CC_gd.py:27-135,357-556`): CC with
+    GateDecorators woven into the hyper stacks (torch Sequential indices
+    conv=3i, gate=3i+1) and the first two convs of each slice transform.
+    This is the KEY_TABLE layout — these rules load *gated* reference
+    state dicts directly (the ungated CC -> CC_GD bootstrap is
+    `models/cc_gd.py:init_cc_gd_from_cc`). Gate/mask buffers are stored
+    (1,C,1,1) in torch and (C,) here ("gate" kind reshapes); `score`
+    buffers are tick-loop state and are not imported.
+    """
+    rules = [
+        # g_a / g_s stay ungated — identical to CC
+        (r"g_a/conv_(\d)/Conv_0", r"g_a.SEQTIMES2", "conv"),
+        (r"g_a/gdn_(\d)/(beta|gamma)", r"g_a.SEQ2IPLUS1.\2", "direct"),
+        (r"g_s/deconv_(\d)/ConvTranspose_0", r"g_s.SEQTIMES2", "deconv"),
+        (r"g_s/igdn_(\d)/(beta|gamma)", r"g_s.SEQ2IPLUS1.\2", "direct"),
+    ]
+    for i in range(3):
+        rules += [
+            (rf"h_a/conv_{i}/Conv_0", rf"h_a.{3 * i}", "conv"),
+            (rf"h_a/gate_{i}/(gate|mask)", rf"h_a.{3 * i + 1}.\1", "gate"),
+        ]
+    for name in ("h_mean_s", "h_scale_s"):
+        for i, (nm, inner, kind) in enumerate((
+            ("deconv_0", "ConvTranspose_0", "deconv"),
+            ("deconv_1", "ConvTranspose_0", "deconv"),
+            ("conv_2", "Conv_0", "conv"),
+        )):
+            rules += [
+                (rf"{name}/{nm}/{inner}", rf"{name}.{3 * i}", kind),
+                (rf"{name}/gate_{i}/(gate|mask)",
+                 rf"{name}.{3 * i + 1}.\1", "gate"),
+            ]
+    for j in range(3):
+        rules.append(
+            (rf"(cc_mean|cc_scale|lrp)_(\d+)/conv_{j}/Conv_0",
+             rf"\1_transforms.\2.{3 * j}", "conv")
+        )
+    for j in range(2):  # gate_last=False: no gate after the final conv
+        rules.append(
+            (rf"(cc_mean|cc_scale|lrp)_(\d+)/gate_{j}/(gate|mask)",
+             rf"\1_transforms.\2.{3 * j + 1}.\3", "gate")
+        )
+    rules += _entropy_bottleneck_rules()
+    return rules
+
+
 _RULES = {
     "cnn": _wacnn_rules,
     "stf": _stf_rules,
     "cc": _cc_rules,
+    "cc_gd": _cc_gd_rules,
     "dystf": _dystf_rules,
     "tbc": _tbc_rules,
 }
@@ -357,6 +405,8 @@ def import_state_dict(model_name: str, template_params, state_dict):
             if torch_key not in state_dict:
                 raise KeyError(f"missing torch key {torch_key!r}")
             tensor = _np(state_dict[torch_key])
+            if kind == "gate":  # torch (1,C,1,1) -> flax (C,)
+                tensor = tensor.reshape(-1)
         else:
             # 2) module rules + kernel/bias/scale leaf translation
             module_path = path[:-1]

@@ -63,6 +63,68 @@ def test_gate_penalty_and_optimizer_freezes_masks(model_params):
         np.testing.assert_array_equal(np.asarray(mask), 1.0)
 
 
+def test_tick_optimizer_freezes_non_gate_params(model_params):
+    """Regression: optax.masked passed raw gradients through for non-gate
+    leaves (silent gradient ascent on frozen params during tick). The tick
+    optimizer must leave every non-gate param bit-identical and move gates."""
+    import optax
+
+    from stf_tpu.training.train_gd import make_gate_tx
+
+    model, params = model_params
+    x = jax.random.uniform(jax.random.key(8), (1, 64, 64, 3))
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p}, x, training=True, rngs={"noise": jax.random.key(9)}
+        )
+        return rate_distortion_loss(out, x, 0.01).loss
+
+    grads = jax.grad(loss_fn)(params)
+    tx = make_gate_tx(1e-2)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    new_params = optax.apply_updates(params, updates)
+
+    flat_old = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_new = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(new_params)[0]
+    }
+    gate_moved = 0
+    for path, old in flat_old:
+        key = jax.tree_util.keystr(path)
+        new = flat_new[key]
+        is_gate = any(getattr(k, "key", None) == "gate" for k in path)
+        if is_gate:
+            if not np.array_equal(np.asarray(old), np.asarray(new)):
+                gate_moved += 1
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(old), np.asarray(new), err_msg=key
+            )
+    assert gate_moved > 0
+
+
+def test_prune_masks_exact_count(model_params):
+    """prune_masks with num=k zeroes exactly k channels when scores are
+    unique and no keep floor binds (regression for the off-by-one)."""
+    model, params = model_params
+    rng = np.random.default_rng(0)
+    scores = {
+        path: rng.permutation(len(np.asarray(mask))).astype(np.float64) + 1.0
+        for path, _, mask in iter_gate_paths(params)
+    }
+    # make scores globally unique by adding a distinct per-gate offset
+    for j, path in enumerate(sorted(scores)):
+        scores[path] = scores[path] + j * 1e-4
+    total = sum(np.asarray(m).size for _, _, m in iter_gate_paths(params))
+    pruned = prune_masks(params, scores, num=7, minimal_frac=0.0)
+    kept = sum(
+        int((np.asarray(m) > 0).sum()) for _, _, m in iter_gate_paths(pruned)
+    )
+    assert total - kept == 7
+
+
 def test_score_accumulation_and_pruning(model_params):
     model, params = model_params
     x = jax.random.uniform(jax.random.key(4), (1, 64, 64, 3))

@@ -293,6 +293,61 @@ class TestCCParity:
             np.testing.assert_allclose(my_bits, ref_bits, rtol=2e-3)
 
 
+class TestCCGDParity:
+    """Direct import of a *gated* reference CC_GD state dict (the KEY_TABLE
+    layout, `CC_gd.py:357-556`) — the sixth and last family importer.
+    Gates and masks are randomized first so the gate/mask import path is
+    genuinely exercised (all-ones gates would make CC_GD ≡ CC)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self, ref):
+        import torch
+
+        torch.manual_seed(0)
+        import compressai.zoo
+
+        tmodel = compressai.zoo.models["cc_gd"](192, 320).eval()
+        with torch.no_grad():
+            g = torch.Generator().manual_seed(7)
+            for m in tmodel.gds:
+                m.gate.copy_(
+                    0.5 + torch.rand(m.gate.shape, generator=g)
+                )
+                # binary masks with a few pruned channels
+                m.mask.copy_(
+                    (torch.rand(m.mask.shape, generator=g) > 0.1).float()
+                )
+
+        from stf_tpu.models.cc_gd import CC_GD
+
+        my_model = CC_GD()
+        params = _import_params("cc_gd", my_model, tmodel)
+        return tmodel, my_model, params
+
+    def test_eval_forward_matches(self, pair):
+        import torch
+
+        import jax.numpy as jnp
+
+        tmodel, my_model, params = pair
+        rng = np.random.default_rng(6)
+        x = rng.random((1, 64, 64, 3)).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = tmodel(torch.from_numpy(to_nchw(x)))
+        out = my_model.apply({"params": params}, jnp.asarray(x), training=False)
+
+        np.testing.assert_allclose(
+            np.asarray(out["x_hat"]),
+            to_nhwc(ref_out["x_hat"].numpy()),
+            atol=5e-3,
+        )
+        for key in ("y", "z"):
+            ref_bits = -np.log2(ref_out["likelihoods"][key].numpy()).sum()
+            my_bits = -np.log2(np.asarray(out["likelihoods"][key])).sum()
+            np.testing.assert_allclose(my_bits, ref_bits, rtol=2e-3)
+
+
 class TestDYSTFParity:
     """The most intricate model: dynamic token pruning with eval-time top-k
     routing. Eval forward is deterministic, so imported random reference
