@@ -39,13 +39,19 @@ class GateDecorator(nn.Module):
 
 
 class GatedStack(nn.Module):
-    """conv -> gate -> ReLU chain; `gate_last` controls a trailing gate."""
+    """conv -> gate -> ReLU chain; `gate_last` controls a trailing gate.
+
+    `gated=False` builds the same stack without GateDecorators — the shape
+    a physically pruned checkpoint reloads into (gates are folded into the
+    convolutions at export, `training/train_gd.py:prune_export`).
+    """
 
     features: Sequence[int]
     kernel_sizes: Sequence[int]
     strides: Sequence[int]
     deconv_flags: Sequence[bool] = ()
     gate_last: bool = True
+    gated: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -59,7 +65,7 @@ class GatedStack(nn.Module):
             else:
                 x = Conv(f, kernel_size=k, stride=s, name=f"conv_{i}")(x)
             last = i == n - 1
-            if not last or self.gate_last:
+            if self.gated and (not last or self.gate_last):
                 x = GateDecorator(f, name=f"gate_{i}")(x)
             if not last:
                 x = nn.relu(x)
@@ -67,73 +73,89 @@ class GatedStack(nn.Module):
 
 
 class CC_GD(ChannelARModel):
-    """Gate-decorated CC ("cc_gd" in the registry)."""
+    """Gate-decorated CC ("cc_gd" in the registry).
+
+    `deps` (optional) makes the model width-parameterized for reloading
+    physically pruned checkpoints: a tuple of ("<stack>/gate_<i>", width)
+    pairs giving each gated position's kept-channel count (the analog of
+    the reference pruned export's `deps` list, `train_gd.py:507-565`).
+    When set, the model is built *ungated* at those widths — the exact
+    shape `prune_export` emits.
+    """
 
     N: int = 192
     M: int = 320
     num_slices: int = 10
     max_support_slices: int = 5
     sparse_lambda: float = 0.5
+    deps: tuple = ()
+
+    def _w(self, key: str, default: int) -> int:
+        return dict(self.deps).get(key, default) if self.deps else default
 
     def setup(self):
+        gated = not self.deps
         self.g_a = CCAnalysis(self.N, self.M)
         self.g_s = CCSynthesis(self.N, self.M)
         mid = round((self.N + self.M) / 2 / 32) * 32  # 256
         self.h_a = GatedStack(
-            features=(self.M, mid, self.N),
+            features=(
+                self._w("h_a/gate_0", self.M),
+                self._w("h_a/gate_1", mid),
+                self._w("h_a/gate_2", self.N),
+            ),
             kernel_sizes=(3, 5, 5),
             strides=(1, 2, 2),
             gate_last=True,
+            gated=gated,
             name="h_a",
         )
-        self.h_mean_s = GatedStack(
-            features=(self.N, mid, self.M),
-            kernel_sizes=(5, 5, 3),
-            strides=(2, 2, 1),
-            deconv_flags=(True, True, False),
-            gate_last=True,
-            name="h_mean_s",
-        )
-        self.h_scale_s = GatedStack(
-            features=(self.N, mid, self.M),
-            kernel_sizes=(5, 5, 3),
-            strides=(2, 2, 1),
-            deconv_flags=(True, True, False),
-            gate_last=True,
-            name="h_scale_s",
-        )
+        for name in ("h_mean_s", "h_scale_s"):
+            setattr(
+                self,
+                name,
+                GatedStack(
+                    features=(
+                        self._w(f"{name}/gate_0", self.N),
+                        self._w(f"{name}/gate_1", mid),
+                        self._w(f"{name}/gate_2", self.M),
+                    ),
+                    kernel_sizes=(5, 5, 3),
+                    strides=(2, 2, 1),
+                    deconv_flags=(True, True, False),
+                    gate_last=True,
+                    gated=gated,
+                    name=name,
+                ),
+            )
         slice_ch = self.M // self.num_slices
-        self.cc_mean_transforms = [
-            GatedStack(
-                features=(224, 128, slice_ch),
+
+        def slice_stack(prefix, i):
+            return GatedStack(
+                features=(
+                    self._w(f"{prefix}_{i}/gate_0", 224),
+                    self._w(f"{prefix}_{i}/gate_1", 128),
+                    slice_ch,
+                ),
                 kernel_sizes=(3, 3, 3),
                 strides=(1, 1, 1),
                 gate_last=False,
-                name=f"cc_mean_{i}",
+                gated=gated,
+                name=f"{prefix}_{i}",
             )
-            for i in range(self.num_slices)
+
+        self.cc_mean_transforms = [
+            slice_stack("cc_mean", i) for i in range(self.num_slices)
         ]
         self.cc_scale_transforms = [
-            GatedStack(
-                features=(224, 128, slice_ch),
-                kernel_sizes=(3, 3, 3),
-                strides=(1, 1, 1),
-                gate_last=False,
-                name=f"cc_scale_{i}",
-            )
-            for i in range(self.num_slices)
+            slice_stack("cc_scale", i) for i in range(self.num_slices)
         ]
         self.lrp_transforms = [
-            GatedStack(
-                features=(224, 128, slice_ch),
-                kernel_sizes=(3, 3, 3),
-                strides=(1, 1, 1),
-                gate_last=False,
-                name=f"lrp_{i}",
-            )
-            for i in range(self.num_slices)
+            slice_stack("lrp", i) for i in range(self.num_slices)
         ]
-        self.entropy_bottleneck = EntropyBottleneck(self.N)
+        self.entropy_bottleneck = EntropyBottleneck(
+            self._w("h_a/gate_2", self.N)
+        )
 
     def analysis(self, x):
         return self.g_a(x)

@@ -135,16 +135,58 @@ def param_scale(params) -> float:
     return kept / total if total else 1.0
 
 
-def prune_export(params, save_path: str):
-    """Fold gates into producer convs and slice interior stack channels.
+def _fold_gate(stack, gate_name, conv_name):
+    """Fold gate*mask into the producer conv and return the kept indices."""
+    gate = stack[gate_name]["gate"]
+    mask = stack[gate_name]["mask"]
+    keep = np.where(np.asarray(mask) > 0)[0]
+    producer = stack[conv_name]
+    inner = next(iter(producer))  # Conv_0 / ConvTranspose_0
+    # HWIO (flax Conv and ConvTranspose both): out channels on the last axis
+    producer[inner]["kernel"] = (producer[inner]["kernel"] * gate)[..., keep]
+    producer[inner]["bias"] = (producer[inner]["bias"] * gate)[keep]
+    del stack[gate_name]
+    return keep
 
-    For each GatedStack, gate_i sits between conv_i (producer) and
-    conv_{i+1} (consumer): the gate value multiplies the producer's output
-    channels (kernel HWIO last axis + bias), pruned channels are dropped
-    from both the producer's outputs and the consumer's inputs. Stack-final
-    gates (whose consumers live in other modules) are folded but not
-    physically sliced — their masks stay in the exported tree. Emits
-    `pruned_model.msgpack` + a JSON `deps` of kept-channel counts.
+
+def _slice_in(module, keep, total=None):
+    """Slice a conv/deconv consumer's input channels (HWIO axis 2). When
+    `total` is given, only the first `total` input rows belong to this
+    producer (concat inputs: latent channels first, support slices after)."""
+    inner = next(iter(module))
+    kern = module[inner]["kernel"]
+    if total is None:
+        module[inner]["kernel"] = kern[:, :, keep, :]
+    else:
+        module[inner]["kernel"] = np.concatenate(
+            [kern[:, :, keep, :], kern[:, :, total:, :]], axis=2
+        )
+
+
+def prune_export(params, save_path: str, model_kwargs: dict = None):
+    """Physically prune a gated CC_GD param tree: fold every gate (gate *
+    mask) into its producer convolution, drop the pruned output channels,
+    and slice the corresponding input channels out of every consumer —
+    including the cross-module consumers the reference's `PruneHelper`
+    descriptors describe (`CC_gd.py:556-660`, `train_gd.py:507-565`; the
+    reference's own prune_model is dead code — it dereferences attributes
+    PruneHelper never sets and indexes state_dict with list-valued keys —
+    so these semantics are validated by our tests instead):
+
+      * interior stack gates -> next conv in the stack
+      * h_a/gate_2 (bottleneck) -> entropy-bottleneck per-channel params
+        (axis 0) + h_mean_s/h_scale_s first deconv inputs. NOTE: this fold
+        is approximate — quantization reinserts per-channel medians between
+        producer and consumer, so a masked (constant-zero) z channel is not
+        bitwise equal to a removed one. Exact for all other gates.
+      * h_mean_s/gate_2 -> first-M input rows of every cc_mean and lrp
+        transform (their inputs are concat(latent_means, support slices))
+      * h_scale_s/gate_2 -> first-M input rows of every cc_scale transform
+
+    The exported tree is fully ungated (the reference analogously renames
+    keys back to the ungated layout and pops gates). Reload with
+    `load_pruned_checkpoint` / `CC_GD(deps=...)`. Emits
+    `pruned_model.msgpack` + `.deps.json` {"deps": {gate path: kept}}.
     """
     import json
 
@@ -152,57 +194,92 @@ def prune_export(params, save_path: str):
     from flax import serialization
 
     params = jax.tree_util.tree_map(np.asarray, params)
-    deps = []
+    deps = {}
+    M = params["h_mean_s"]["conv_2"][
+        next(iter(params["h_mean_s"]["conv_2"]))
+    ]["bias"].shape[0]
 
-    def process_stack(stack):
-        names = sorted(
+    # interior gates first (consumer = next conv in the same stack)
+    for name, stack in params.items():
+        if not isinstance(stack, dict) or not any(
+            k.startswith("gate_") for k in stack
+        ):
+            continue
+        convs = sorted(
             [k for k in stack if k.startswith(("conv_", "deconv_"))],
             key=lambda s: int(s.split("_")[-1]),
         )
-        gates = {
-            int(k.split("_")[-1]): k for k in stack if k.startswith("gate_")
-        }
-        for gi, gname in sorted(gates.items()):
-            gate = stack[gname]["gate"]
-            mask = stack[gname]["mask"]
-            keep = np.where(mask > 0)[0]
-            deps.append(int(keep.size))
+        n = len(convs)
+        for gi in sorted(
+            int(k.split("_")[-1]) for k in stack if k.startswith("gate_")
+        ):
+            if gi == n - 1:
+                continue  # stack-final: cross-module, handled below
+            keep = _fold_gate(stack, f"gate_{gi}", convs[gi])
+            _slice_in(stack[convs[gi + 1]], keep)
+            deps[f"{name}/gate_{gi}"] = int(keep.size)
 
-            producer = stack[names[gi]]
-            inner = next(iter(producer))  # Conv_0 / ConvTranspose_0
-            kern = producer[inner]["kernel"] * gate  # HWIO: out is last axis
-            bias = producer[inner]["bias"] * gate
+    # h_a final gate: bottleneck channels
+    if "gate_2" in params["h_a"]:
+        keep = _fold_gate(params["h_a"], "gate_2", "conv_2")
+        deps["h_a/gate_2"] = int(keep.size)
+        eb = params["entropy_bottleneck"]
+        for k in eb:
+            eb[k] = eb[k][keep]
+        _slice_in(params["h_mean_s"]["deconv_0"], keep)
+        _slice_in(params["h_scale_s"]["deconv_0"], keep)
 
-            is_final = gi == len(names) - 1
-            if is_final:
-                # consumers are external; keep width, zero pruned channels
-                zero = (mask > 0).astype(kern.dtype)
-                producer[inner]["kernel"] = kern * zero
-                producer[inner]["bias"] = bias * np.asarray(zero)
-                stack[gname]["gate"] = np.ones_like(gate)
-            else:
-                producer[inner]["kernel"] = kern[..., keep]
-                producer[inner]["bias"] = bias[keep]
-                consumer = stack[names[gi + 1]]
-                cinner = next(iter(consumer))
-                consumer[cinner]["kernel"] = consumer[cinner]["kernel"][
-                    :, :, keep, :
-                ]
-                del stack[gname]
-
-    for name, sub in params.items():
-        if not isinstance(sub, dict):
+    # hyper-synthesis final gates: first-M rows of the slice transforms
+    for hyper, prefixes in (
+        ("h_mean_s", ("cc_mean_", "lrp_")),
+        ("h_scale_s", ("cc_scale_",)),
+    ):
+        if "gate_2" not in params[hyper]:
             continue
-        if any(k.startswith("gate_") for k in sub):
-            process_stack(sub)
+        keep = _fold_gate(params[hyper], "gate_2", "conv_2")
+        deps[f"{hyper}/gate_2"] = int(keep.size)
+        for name, stack in params.items():
+            if isinstance(stack, dict) and name.startswith(prefixes):
+                _slice_in(stack["conv_0"], keep, total=M)
 
     os.makedirs(save_path, exist_ok=True)
     out = os.path.join(save_path, "pruned_model.msgpack")
     with open(out, "wb") as f:
         f.write(serialization.to_bytes(params))
     with open(out + ".deps.json", "w") as f:
-        json.dump({"deps": deps}, f)
+        json.dump({"deps": deps, "model_kwargs": model_kwargs or {}}, f)
     return params, deps
+
+
+def load_pruned_checkpoint(path: str):
+    """Load a `prune_export` checkpoint: returns (CC_GD(deps=...), params).
+
+    `path` is the msgpack (its `.deps.json` sidecar must sit next to it).
+    The returned model is ungated at the pruned widths; its forward is the
+    pruned network (the reference never shipped this reload half).
+    """
+    import json
+
+    from flax import serialization
+
+    from ..models.cc_gd import CC_GD
+
+    with open(path + ".deps.json") as f:
+        meta = json.load(f)
+    deps = tuple(sorted(meta["deps"].items()))
+    model = CC_GD(deps=deps, **meta.get("model_kwargs", {}))
+
+    import jax
+    import jax.numpy as jnp
+
+    variables = model.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+        training=False,
+    )
+    with open(path, "rb") as f:
+        params = serialization.from_bytes(variables["params"], f.read())
+    return model, params
 
 
 def parse_args(argv):
@@ -366,7 +443,7 @@ def main(argv=None):
         if stopped:
             break
 
-    prune_export(state.params, args.save_dir)
+    prune_export(state.params, args.save_dir, model_kwargs={})
     return state
 
 

@@ -150,8 +150,9 @@ def test_score_accumulation_and_pruning(model_params):
         assert np.asarray(mask).sum() >= 1
 
 
-def test_prune_export(model_params, tmp_path):
-    model, params = model_params
+def _prune_some(model, params, num, *, protect=()):
+    """Prune `num` channels by random-gradient Taylor scores, forcing the
+    masks of `protect`ed gates back to ones."""
     x = jax.random.uniform(jax.random.key(6), (1, 64, 64, 3))
 
     def loss_fn(p):
@@ -162,20 +163,90 @@ def test_prune_export(model_params, tmp_path):
 
     grads = jax.grad(loss_fn)(params)
     scores = accumulate_scores({}, params, grads)
-    pruned_params = prune_masks(params, scores, num=20)
+    pruned = prune_masks(params, scores, num=num)
+    for path in protect:
+        node = pruned
+        for k in path:
+            node = node[k]
+        node["mask"] = np.ones_like(np.asarray(node["mask"]))
+    return pruned
 
-    kept0 = int((np.asarray(pruned_params["h_a"]["gate_0"]["mask"]) > 0).sum())
 
-    exported, deps = prune_export(pruned_params, str(tmp_path))
-    assert (tmp_path / "pruned_model.msgpack").exists()
+def test_prune_export_reload_exact(model_params, tmp_path):
+    """prune -> export -> reload -> bit-identical forward at reduced param
+    count. The bottleneck gate (h_a/gate_2) is protected: it is the one
+    approximately-foldable gate (quantization reinserts medians between
+    producer and consumer); every other fold must be exact."""
+    from stf_tpu.training.train_gd import load_pruned_checkpoint
+
+    model, params = model_params
+    pruned_params = _prune_some(
+        model, params, num=40, protect=[("h_a", "gate_2")]
+    )
+
+    exported, deps = prune_export(
+        pruned_params, str(tmp_path), model_kwargs=dict(SMALL)
+    )
+    assert not any(
+        k.startswith("gate_") for sub in exported.values()
+        if isinstance(sub, dict) for k in sub
+    )
     assert len(deps) == len(list(iter_gate_paths(params)))
-    # interior h_a gate got physically sliced on both sides
-    ha = exported["h_a"]
-    assert "gate_0" not in ha
-    inner = next(iter(ha["conv_0"]))
-    assert ha["conv_0"][inner]["kernel"].shape[-1] == kept0
-    cinner = next(iter(ha["conv_1"]))
-    assert ha["conv_1"][cinner]["kernel"].shape[2] == kept0
+
+    reloaded_model, reloaded_params = load_pruned_checkpoint(
+        str(tmp_path / "pruned_model.msgpack")
+    )
+    n_before = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    n_after = sum(
+        p.size for p in jax.tree_util.tree_leaves(reloaded_params)
+    )
+    assert n_after < n_before
+
+    x = jax.random.uniform(jax.random.key(8), (1, 64, 64, 3))
+    out_gated = model.apply({"params": pruned_params}, x, training=False)
+    out_pruned = reloaded_model.apply(
+        {"params": reloaded_params}, x, training=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pruned["x_hat"]),
+        np.asarray(out_gated["x_hat"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pruned["likelihoods"]["y"]),
+        np.asarray(out_gated["likelihoods"]["y"]),
+        rtol=1e-4,
+    )
+
+
+def test_prune_export_bottleneck_slicing(model_params, tmp_path):
+    """Pruning the bottleneck gate slices the entropy-bottleneck params and
+    the hyper-synthesis inputs; the reloaded model runs end to end (the
+    fold is approximate there by design — see prune_export docstring)."""
+    from stf_tpu.training.train_gd import load_pruned_checkpoint
+
+    model, params = model_params
+    pruned_params = _prune_some(model, params, num=60)
+    kept_z = int(
+        (np.asarray(pruned_params["h_a"]["gate_2"]["mask"]) > 0).sum()
+    )
+
+    exported, deps = prune_export(
+        pruned_params, str(tmp_path), model_kwargs=dict(SMALL)
+    )
+    assert deps["h_a/gate_2"] == kept_z
+    assert exported["entropy_bottleneck"]["quantiles"].shape[0] == kept_z
+    for name in ("h_mean_s", "h_scale_s"):
+        inner = next(iter(exported[name]["deconv_0"]))
+        assert exported[name]["deconv_0"][inner]["kernel"].shape[2] == kept_z
+
+    reloaded_model, reloaded_params = load_pruned_checkpoint(
+        str(tmp_path / "pruned_model.msgpack")
+    )
+    x = jax.random.uniform(jax.random.key(9), (1, 64, 64, 3))
+    out = reloaded_model.apply({"params": reloaded_params}, x, training=False)
+    assert out["x_hat"].shape == x.shape
+    assert out["likelihoods"]["z"].shape[-1] == kept_z
 
 
 def test_init_from_cc_matches_cc_forward():
