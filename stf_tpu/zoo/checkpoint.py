@@ -29,6 +29,20 @@ def save_checkpoint(
         json.dump(meta, f)
 
 
+def load_any_checkpoint(
+    path: str, model_name: Optional[str] = None, **model_kwargs
+) -> Tuple[Any, Dict]:
+    """Format dispatch: native msgpack checkpoints or reference torch
+    `.pth`/`.pth.tar` state dicts (imported via `zoo/torch_import.py`)."""
+    if path.endswith((".pth", ".pth.tar", ".pt")):
+        if model_name is None:
+            raise ValueError("model_name required for torch checkpoints")
+        from .torch_import import load_torch_checkpoint
+
+        return load_torch_checkpoint(model_name, path, **model_kwargs)
+    return load_checkpoint(path, model_name)
+
+
 def load_checkpoint(path: str, model_name: Optional[str] = None) -> Tuple[Any, Dict]:
     """Returns (model, params). Model name/kwargs come from the sidecar
     unless overridden."""
