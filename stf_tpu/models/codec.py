@@ -55,19 +55,41 @@ class Codec:
         params,
         scale_table: Optional[np.ndarray] = None,
         pipeline: int = 1,
+        dtype=None,
     ):
         self.model = model
-        self.params = params
         self.pipeline = max(int(pipeline), 1)
         self.scale_table = (
             np.asarray(scale_table, np.float32)
             if scale_table is not None
             else get_scale_table()
         )
+        if dtype is not None and dtype != jnp.float32:
+            # TPU-native half precision: transforms run in bf16 (MXU-native),
+            # while the entropy bottleneck stays f32 so the z medians /
+            # quantiles that parameterize the CDF tables are exact. RD guard:
+            # tests/test_bf16_codec.py. Lockstep safety is structural —
+            # encoder and decoder run the same compiled programs either way.
+            def cast(path, a):
+                if path[0].key == "entropy_bottleneck":
+                    return a
+                a = jnp.asarray(a)
+                return (
+                    a.astype(dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating)
+                    else a
+                )
+
+            params = jax.tree_util.tree_map_with_path(cast, params)
+        self.params = params
         self.update()
 
         # compute dtype follows the params (bf16 params -> bf16 transforms)
-        self.dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        self.dtype = (
+            dtype
+            if dtype is not None
+            else jax.tree_util.tree_leaves(params)[0].dtype
+        )
 
         def analyze(p, x):
             # accept native uint8 images: upload 1 byte/px and normalize on

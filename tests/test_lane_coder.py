@@ -1,0 +1,103 @@
+"""Interleaved lane-rANS round-trip tests (the device entropy decoder).
+
+Random CDFs (built by the same native pmf_to_quantized_cdf used in
+production), random symbols including out-of-range escapes; the host
+encoder's stream must decode exactly via both the NumPy reference decoder
+and the Pallas kernel (interpreter mode on CPU CI; the real-TPU path is
+exercised by tools/bench_device_decode.py)."""
+
+import numpy as np
+import pytest
+
+from stf_tpu.ans import pmf_to_quantized_cdf_rows
+from stf_tpu.ans.lane_coder import (
+    K,
+    LaneTables,
+    lane_decode,
+    lane_decode_reference,
+    lane_encode,
+    make_lane_tables,
+)
+
+
+def random_tables(rng, rows=7, max_pmf=12) -> LaneTables:
+    lengths = rng.integers(2, max_pmf + 1, rows).astype(np.int32)
+    pmf = np.zeros((rows, max_pmf), np.float32)
+    for r in range(rows):
+        p = rng.random(lengths[r]).astype(np.float32) + 1e-3
+        pmf[r, : lengths[r]] = p / p.sum() * 0.98
+    tail = np.full(rows, 0.02, np.float32)
+    cdf = pmf_to_quantized_cdf_rows(pmf, tail, lengths)
+    offsets = rng.integers(-20, 20, rows).astype(np.int32)
+    return make_lane_tables(cdf, lengths + 2, offsets)
+
+
+def random_symbols(rng, tables: LaneTables, n, escape_frac=0.05):
+    idx = rng.integers(0, tables.lengths.size, n).astype(np.int32)
+    max_s = tables.lengths[idx] - 2
+    sym = rng.integers(0, 1 << 30, n) % max_s + tables.offsets[idx]
+    esc = rng.random(n) < escape_frac
+    sym = np.where(esc, rng.integers(-(1 << 20), 1 << 20, n), sym)
+    return sym.astype(np.int32), idx
+
+
+@pytest.mark.parametrize("n", [1, 7, K, K + 3, 5 * K, 4096 + 17])
+def test_reference_roundtrip(n):
+    rng = np.random.default_rng(n)
+    tables = random_tables(rng)
+    sym, idx = random_symbols(rng, tables, n)
+    words, states, side, n_out = lane_encode(sym, idx, tables)
+    dec = lane_decode_reference(words, states, side, idx, tables, n_out)
+    np.testing.assert_array_equal(dec, sym)
+
+
+def test_reference_roundtrip_no_escapes():
+    rng = np.random.default_rng(0)
+    tables = random_tables(rng)
+    sym, idx = random_symbols(rng, tables, 2000, escape_frac=0.0)
+    words, states, side, n = lane_encode(sym, idx, tables)
+    assert side.size == 0
+    dec = lane_decode_reference(words, states, side, idx, tables, n)
+    np.testing.assert_array_equal(dec, sym)
+
+
+def test_reference_roundtrip_skewed():
+    """Highly skewed PMFs stress renormalization (freq near 2^16)."""
+    rng = np.random.default_rng(1)
+    lengths = np.array([3, 2], np.int32)
+    pmf = np.array(
+        [[0.97, 0.02, 0.005], [0.5, 0.49, 0.0]], np.float32
+    )
+    tail = np.array([0.005, 0.01], np.float32)
+    cdf = pmf_to_quantized_cdf_rows(pmf, tail, lengths)
+    tables = make_lane_tables(cdf, lengths + 2, np.array([0, -1], np.int32))
+    sym, idx = random_symbols(rng, tables, 3000, escape_frac=0.02)
+    words, states, side, n = lane_encode(sym, idx, tables)
+    dec = lane_decode_reference(words, states, side, idx, tables, n)
+    np.testing.assert_array_equal(dec, sym)
+
+
+@pytest.mark.parametrize("n", [K, 5 * K + 9, 2048])
+def test_pallas_kernel_matches(n):
+    rng = np.random.default_rng(100 + n)
+    tables = random_tables(rng)
+    sym, idx = random_symbols(rng, tables, n)
+    words, states, side, n_out = lane_encode(sym, idx, tables)
+    dec = np.asarray(
+        lane_decode(words, states, side, idx, tables, n_out, interpret=True)
+    )
+    np.testing.assert_array_equal(dec, sym)
+
+
+def test_pallas_kernel_compression_ratio():
+    """Sanity: the stream is near the entropy bound, not an escape storm."""
+    rng = np.random.default_rng(3)
+    tables = random_tables(rng, rows=4, max_pmf=8)
+    sym, idx = random_symbols(rng, tables, 50_000, escape_frac=0.0)
+    words, states, side, n = lane_encode(sym, idx, tables)
+    bits = words.size * 16 + states.size * 32
+    assert bits / n < 4.0  # ~3 bits/sym alphabets
+    dec = np.asarray(
+        lane_decode(words, states, side, idx, tables, n, interpret=True)
+    )
+    np.testing.assert_array_equal(dec, sym)
