@@ -12,6 +12,7 @@ with data-dependent constants small next to the transforms).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -43,7 +44,15 @@ def main():
     # (measured 2.50 img/s at pipeline=1 vs 1.69 at pipeline=3); on hosts
     # with local PCIe/DMA links, raise `pipeline` to overlap rANS with
     # device compute.
-    codec = Codec(model, state.params, pipeline=1, dtype=jnp.bfloat16)
+    # entropy backend: "lane" encodes with the native C++ lane encoder and
+    # decodes the whole walk as ONE device program (Pallas interleaved
+    # rANS + hash-guarded fused decompress, ans/lane_coder.py +
+    # models/codec.py); "host" is the reference-contract CPU coder.
+    # Measured (same session, best of 3): lane 3.46 img/s vs host 3.02.
+    coder = os.environ.get("STF_BENCH_CODER", "lane")
+    codec = Codec(
+        model, state.params, pipeline=1, dtype=jnp.bfloat16, coder=coder
+    )
 
     rng = np.random.default_rng(0)
     n_images = 24  # Kodak size

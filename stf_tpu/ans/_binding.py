@@ -60,6 +60,16 @@ _lib.stf_decoder_decode_stream.argtypes = [
     _i32p, ctypes.c_int64, _i32p, _i32p, _i32p,
 ]
 
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_u16p = ctypes.POINTER(ctypes.c_uint16)
+
+_lib.stf_lane_encode.restype = ctypes.c_int32
+_lib.stf_lane_encode.argtypes = [
+    _i32p, _i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+    _i32p, ctypes.c_int64, _i32p, _i32p,
+    _u16p, _i64p, _u32p, _i32p, _i64p,
+]
+
 _lib.stf_pmf_to_quantized_cdf.restype = ctypes.c_int32
 _lib.stf_pmf_to_quantized_cdf.argtypes = [
     _f32p, ctypes.c_int64, ctypes.c_int32, _u32p,
@@ -202,6 +212,47 @@ class RansDecoder:
         if n < 0:
             raise RuntimeError("decode_stream called before set_stream")
         return out
+
+
+def lane_encode_groups(symbols, indexes, tg, groups, lanes,
+                       cdfs, cdf_lengths, offsets):
+    """Native interleaved lane-rANS encoder (`stf_lane_encode`): encodes
+    `groups` independent segments of tg*lanes pre-padded symbols. Returns
+    (words u16, word_counts i64[G], states u32[G, lanes], side i32,
+    side_counts i64[G]) — bit-exact with lane_coder's NumPy encoder."""
+    symbols = _as_i32(symbols)
+    indexes = _as_i32(indexes)
+    total = groups * tg * lanes
+    if symbols.size != total or indexes.size != total:
+        raise ValueError("lane encode needs pre-padded groups*tg*lanes input")
+    cdfs = _as_cdf_table(cdfs)
+    cdf_lengths = _as_i32(cdf_lengths)
+    offsets = _as_i32(offsets)
+    _check_indexes(indexes, cdfs)
+    words = np.empty(max(total, 1), dtype=np.uint16)
+    word_counts = np.zeros(groups, dtype=np.int64)
+    states = np.empty((groups, lanes), dtype=np.uint32)
+    side = np.empty(max(total, 1), dtype=np.int32)
+    side_counts = np.zeros(groups, dtype=np.int64)
+    rc = _lib.stf_lane_encode(
+        _i32_ptr(symbols), _i32_ptr(indexes), tg, groups, lanes,
+        _i32_ptr(cdfs), cdfs.shape[1], _i32_ptr(cdf_lengths),
+        _i32_ptr(offsets),
+        words.ctypes.data_as(_u16p),
+        word_counts.ctypes.data_as(_i64p),
+        states.ctypes.data_as(_u32p),
+        _i32_ptr(side),
+        side_counts.ctypes.data_as(_i64p),
+    )
+    if rc != 0:
+        raise RuntimeError("lane encode failed (bad table index)")
+    return (
+        words[: int(word_counts.sum())].copy(),
+        word_counts,
+        states,
+        side[: int(side_counts.sum())].copy(),
+        side_counts,
+    )
 
 
 def pmf_to_quantized_cdf(pmf, precision: int = 16) -> np.ndarray:

@@ -335,6 +335,87 @@ int64_t stf_decoder_decode_stream(StfStreamDecoder *dec,
   return decode_symbols(dec->rans, &dec->ptr, indexes, n, t, out);
 }
 
+// --- lane coder encode ------------------------------------------------------
+
+// Host-side encoder for the TPU lane coder (`stf_tpu/ans/lane_coder.py`):
+// `groups` independent segments of `tg` rows x `lanes` interleaved rANS32
+// lanes with 16-bit renormalization. Bit-exact with lane_coder.lane_encode's
+// NumPy reference (same buffer layout: per group, words are consumed by the
+// forward decoder in (row, lane-ascending) order, so the reverse-running
+// encoder emits in (row-descending, lane-descending) order into a
+// backward-filled buffer). Out-of-window symbols encode the escape slot and
+// push their raw value onto the per-group side channel in FORWARD order.
+//
+// symbols/indexes: [groups * tg * lanes], already padded by the caller.
+// words_out capacity must be >= groups*tg*lanes (one word max per symbol);
+// side_out capacity likewise. Returns 0, or -1 on a bad table index.
+int32_t stf_lane_encode(const int32_t *symbols, const int32_t *indexes,
+                        int64_t tg, int32_t groups, int32_t lanes,
+                        const int32_t *cdfs, int64_t cdf_stride,
+                        const int32_t *cdf_lengths, const int32_t *offsets,
+                        uint16_t *words_out, int64_t *word_counts,
+                        uint32_t *states_out, int32_t *side_out,
+                        int64_t *side_counts) {
+  const int64_t gsz = tg * lanes;
+  CdfView t{cdfs, cdf_stride, cdf_lengths, offsets};
+
+  std::vector<uint16_t> cum_buf(static_cast<size_t>(gsz));
+  std::vector<uint16_t> freq_buf(static_cast<size_t>(gsz));
+  std::vector<uint16_t> scratch(static_cast<size_t>(gsz));
+  std::vector<uint64_t> state(static_cast<size_t>(lanes));
+
+  uint16_t *wcursor = words_out;
+  int32_t *scursor = side_out;
+
+  for (int32_t g = 0; g < groups; ++g) {
+    const int32_t *sym = symbols + g * gsz;
+    const int32_t *idx = indexes + g * gsz;
+
+    // forward pass: slot -> (cum, freq); escapes to the side channel
+    int64_t n_side = 0;
+    for (int64_t i = 0; i < gsz; ++i) {
+      const int32_t cdf_idx = idx[i];
+      if (cdf_idx < 0) return -1;
+      const int32_t *cdf = t.row(cdf_idx);
+      const int32_t max_s = t.cdf_lengths[cdf_idx] - 2;  // escape slot
+      int32_t s = sym[i] - t.offsets[cdf_idx];
+      if (s < 0 || s >= max_s) {
+        scursor[n_side++] = sym[i];
+        s = max_s;
+      }
+      cum_buf[i] = static_cast<uint16_t>(cdf[s]);
+      freq_buf[i] = static_cast<uint16_t>(cdf[s + 1] - cdf[s]);
+    }
+    side_counts[g] = n_side;
+    scursor += n_side;
+
+    // reverse pass: interleaved rANS32, backward-filled word buffer
+    for (int32_t k = 0; k < lanes; ++k) state[k] = 1ull << kPrecision;
+    uint16_t *wptr = scratch.data() + gsz;
+    for (int64_t tr = tg - 1; tr >= 0; --tr) {
+      const int64_t base = tr * lanes;
+      for (int32_t k = lanes - 1; k >= 0; --k) {
+        const uint64_t f = freq_buf[base + k];
+        const uint64_t c = cum_buf[base + k];
+        uint64_t x = state[k];
+        if (x >= (f << kPrecision)) {
+          *--wptr = static_cast<uint16_t>(x & 0xFFFF);
+          x >>= kPrecision;
+        }
+        state[k] = ((x / f) << kPrecision) + c + (x % f);
+      }
+    }
+    const int64_t n_words = scratch.data() + gsz - wptr;
+    std::memcpy(wcursor, wptr, static_cast<size_t>(n_words) * 2);
+    word_counts[g] = n_words;
+    wcursor += n_words;
+    for (int32_t k = 0; k < lanes; ++k) {
+      states_out[g * lanes + k] = static_cast<uint32_t>(state[k]);
+    }
+  }
+  return 0;
+}
+
 // --- PMF -> quantized CDF ----------------------------------------------------
 
 // Quantize a PMF of `n` float probabilities to an integer CDF of n+1 entries

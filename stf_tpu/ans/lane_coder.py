@@ -1,5 +1,5 @@
-"""TPU-native interleaved rANS ("lane coder"): 128 parallel rANS32 lanes
-sharing one word stream, decodable ON DEVICE as a single Pallas kernel.
+"""TPU-native interleaved rANS ("lane coder"): G x 128 parallel rANS32
+lanes, decodable ON DEVICE as a single Pallas kernel.
 
 Why: the host coder forces a device->host transfer of indexes and a
 host->device transfer of decoded symbols for every channel-AR slice
@@ -9,31 +9,45 @@ bitstream bytes and removes the host from the loop.
 
 Format (ours — the stream layout is framework-defined; reference parity is
 at the symbol/CDF level, not the bitstream level):
-  * K=128 lanes, each a 16-bit-renormalizing rANS32 (state in [2^16,2^32),
-    <=1 word in/out per symbol step — same arithmetic family as the vendored
-    core the reference builds on, `third_party/ryg_rans/rans64.h:14-60`).
-  * symbol i belongs to lane i%K; step t decodes symbols [tK, tK+K).
-  * one shared uint16 word stream: the encoder runs in reverse and emits so
-    the forward decoder consumes words in (step, lane) order — Giesen's
-    interleaved-rANS discipline.
-  * out-of-range values escape to a raw int32 side channel (the reference
-    escapes into in-stream 4-bit bypass chunks, `rans_interface.cpp:137-162`;
-    a side channel keeps the device decode loop branch-free).
+  * the symbol sequence is row-blocked: rows of K=128 symbols, split into
+    G=8 contiguous row groups; group g's rows decode independently, so one
+    kernel step advances all G*K = 1024 lanes at once (the serial chain is
+    the per-row dependency, cut G-fold — Giesen's interleaved-rANS
+    discipline, applied twice).
+  * each lane is a 16-bit-renormalizing rANS32 (state in [2^16, 2^32),
+    <=1 word in/out per symbol step — the same arithmetic family as the
+    vendored core the reference builds on, `third_party/ryg_rans/
+    rans64.h:14-60`).
+  * each group has its own uint16 word stream: the encoder runs in reverse
+    and emits so the forward decoder consumes words in (row, lane) order.
+  * out-of-range values escape to a raw int32 side channel per group (the
+    reference escapes into in-stream 4-bit bypass chunks,
+    `rans_interface.cpp:137-162`; a side channel keeps the device decode
+    loop branch-free).
 
 The Pallas kernel is gather-free: the only data-dependent reads are
-scalar-base dynamic slices (word/side windows); per-lane word selection is
-a rank/one-hot contraction, and per-lane CDF rows come from a one-hot
-matmul against the table (rows, width) — all VPU/MXU ops.
+scalar-base dynamic slices (per-group word/side windows); per-lane word
+selection is a rank/one-hot contraction, and per-lane CDF rows come from a
+one-hot matmul against the table (rows, width) — all VPU/MXU ops.
+
+Kernel memory layout (VMEM is ~16 MB/core): word streams ride packed
+two-uint16-per-int32 in per-group banks and stay resident; the per-symbol
+index/output tensors are chunked over a sequential grid so VMEM holds only
+one chunk at a time. Decoder state (G x K lane states + 2G stream cursors)
+persists across grid steps in scratch.
 """
 
+import functools
 from typing import NamedTuple, Tuple
 
 import numpy as np
 
-K = 128  # lanes
+K = 128          # lanes per group (one TPU vector register row)
+GROUPS = 8       # independent row groups decoded per kernel step
 RANS_L = 1 << 16  # renormalization lower bound = 2^precision
 PRECISION = 16
 SENTINEL = 1 << 20  # table padding: never <= a 16-bit slot
+CHUNK_T = 256    # decode-kernel grid chunk: CHUNK_T rows per grid step
 
 
 class LaneTables(NamedTuple):
@@ -44,6 +58,17 @@ class LaneTables(NamedTuple):
     offsets: np.ndarray  # (R,) int32
 
 
+class LaneStream(NamedTuple):
+    """One encoded segment: per-group word/side streams + lane states."""
+
+    words: np.ndarray        # uint16, groups concatenated
+    word_counts: np.ndarray  # (G,) int64
+    states: np.ndarray       # (G, K) uint32 decoder init states
+    side: np.ndarray         # int32 escape values, groups concatenated
+    side_counts: np.ndarray  # (G,) int64
+    n: int                   # real symbol count
+
+
 def make_lane_tables(cdf, cdf_lengths, offsets) -> LaneTables:
     cdf = np.asarray(cdf, np.int64)
     lengths = np.asarray(cdf_lengths, np.int32).reshape(-1)
@@ -52,6 +77,51 @@ def make_lane_tables(cdf, cdf_lengths, offsets) -> LaneTables:
     for r in range(cdf.shape[0]):
         out[r, : lengths[r]] = cdf[r, : lengths[r]]
     return LaneTables(out, lengths, offsets)
+
+
+def truncate_tables(cdf, cdf_lengths, offsets, max_half: int = 127) -> LaneTables:
+    """Lane tables with every row's symbol window clamped to ±max_half
+    around its center; clipped tail mass is folded into the escape slot.
+
+    The Gaussian-conditional rows (entropy_models.build_gc_tables) span
+    ±ceil(scale*6.1) slots — up to ~±1565 at the largest table scale —
+    which would make the kernel's (K, W) table scan enormous for mass that
+    is almost never visited. Symbols beyond the window ride the raw side
+    channel instead (they are exactly the ones the codec's int8 transfer
+    path already treats as overflow, `models/codec.py` quantize). Bounded
+    W keeps the device table scan at MXU-friendly width; the host backend
+    keeps the reference-exact full-width tables.
+    """
+    cdf = np.asarray(cdf, np.int64)
+    lengths = np.asarray(cdf_lengths, np.int32).reshape(-1)
+    offsets = np.asarray(offsets, np.int32).reshape(-1)
+    wmax = 2 * max_half + 1 + 2
+    R = cdf.shape[0]
+    out_cdf = np.zeros((R, min(cdf.shape[1], wmax)), np.int64)
+    out_len = np.empty(R, np.int32)
+    out_off = np.empty(R, np.int32)
+    for r in range(R):
+        L = int(lengths[r])  # cdf entries; pmf_len = L - 2 symbols + escape
+        pmf_len = L - 2
+        freqs = np.diff(cdf[r, :L])  # pmf_len + 1 freqs (escape last)
+        center = -int(offsets[r])
+        if pmf_len <= 2 * max_half + 1 or not (
+            max_half <= center < pmf_len - max_half
+        ):
+            # small or non-centered row (e.g. entropy-bottleneck quantile
+            # rows): keep as-is
+            out_cdf[r, :L] = cdf[r, :L]
+            out_len[r] = L
+            out_off[r] = offsets[r]
+            continue
+        lo, hi = center - max_half, center + max_half + 1
+        kept = freqs[lo:hi]
+        esc = freqs[pmf_len] + freqs[:lo].sum() + freqs[hi:pmf_len].sum()
+        new = np.concatenate([[0], np.cumsum(np.concatenate([kept, [esc]]))])
+        out_cdf[r, : new.size] = new
+        out_len[r] = new.size
+        out_off[r] = -max_half
+    return make_lane_tables(out_cdf, out_len, out_off)
 
 
 def _sym_cum_freq(symbols, indexes, tables: LaneTables):
@@ -67,26 +137,29 @@ def _sym_cum_freq(symbols, indexes, tables: LaneTables):
     return s_eff, cum, nxt - cum, esc
 
 
-def lane_encode(
-    symbols, indexes, tables: LaneTables
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    """Host-side encoder. Returns (words uint16, init_states uint32,
-    side int32, n) where `init_states` are the decoder's starting states
-    and `side` holds escaped raw values in forward stream order."""
-    symbols = np.asarray(symbols, np.int32).reshape(-1)
-    indexes = np.asarray(indexes, np.int32).reshape(-1)
+def _pad_to_rows(symbols, indexes, tables: LaneTables):
+    """Pad (symbols, indexes) to G*Tg full K-rows. Padding symbols encode
+    as row 0, slot 0 (always in range); the decoder pads indexes with the
+    same zeros, so padded tails round-trip and are sliced off."""
     n = symbols.size
-    pad = (-n) % K
-    if pad:
-        symbols = np.concatenate(
-            [symbols, np.full(pad, tables.offsets[0], np.int32)]
-        )
-        indexes = np.concatenate([indexes, np.zeros(pad, np.int32)])
-    T = symbols.size // K
+    rows = (n + K - 1) // K
+    tg = (rows + GROUPS - 1) // GROUPS
+    total = GROUPS * tg * K
+    symbols = np.concatenate(
+        [symbols, np.full(total - n, tables.offsets[0], np.int32)]
+    )
+    indexes = np.concatenate(
+        [indexes, np.zeros(total - n, np.int32)]
+    )
+    return symbols, indexes, tg
 
+
+def _encode_group(symbols, indexes, tables: LaneTables):
+    """Encode exactly Tg*K symbols with K interleaved lanes. Returns
+    (words uint16, init_states (K,) uint32, side int32)."""
+    T = symbols.size // K
     _, cum, freq, esc = _sym_cum_freq(symbols, indexes, tables)
-    side = symbols[esc & (np.arange(symbols.size) < n)].astype(np.int32)
-    # padding symbols use row 0 slot 0 which is always in range
+    side = symbols[esc].astype(np.int32)
     cum2 = cum.reshape(T, K)
     freq2 = freq.reshape(T, K)
 
@@ -103,19 +176,57 @@ def lane_encode(
     words = (
         np.concatenate(chunks)[::-1] if chunks else np.empty(0, np.uint16)
     )
-    return words, state.astype(np.uint32), side, n
+    return words, state.astype(np.uint32), side
 
 
-def lane_decode_reference(
-    words, init_states, side, indexes, tables: LaneTables, n: int
-) -> np.ndarray:
-    """Pure-NumPy forward decoder — the oracle the Pallas kernel must match."""
-    indexes = np.asarray(indexes, np.int64).reshape(-1)
-    pad = (-n) % K
-    if pad:
-        indexes = np.concatenate([indexes, np.zeros(pad, np.int64)])
-    T = indexes.size // K
-    idx2 = indexes.reshape(T, K)
+def lane_encode_numpy(symbols, indexes, tables: LaneTables) -> LaneStream:
+    """Pure-NumPy encoder — the native encoder's oracle (and fallback)."""
+    symbols = np.asarray(symbols, np.int32).reshape(-1)
+    indexes = np.asarray(indexes, np.int32).reshape(-1)
+    n = symbols.size
+    symbols, indexes, tg = _pad_to_rows(symbols, indexes, tables)
+    gsz = tg * K
+    words, states, side = [], [], []
+    for g in range(GROUPS):
+        w, st, sd = _encode_group(
+            symbols[g * gsz : (g + 1) * gsz],
+            indexes[g * gsz : (g + 1) * gsz],
+            tables,
+        )
+        words.append(w)
+        states.append(st)
+        side.append(sd)
+    return LaneStream(
+        np.concatenate(words) if words else np.empty(0, np.uint16),
+        np.asarray([w.size for w in words], np.int64),
+        np.stack(states),
+        np.concatenate(side) if side else np.empty(0, np.int32),
+        np.asarray([s.size for s in side], np.int64),
+        n,
+    )
+
+
+def lane_encode(symbols, indexes, tables: LaneTables) -> LaneStream:
+    """Host-side encoder: split into G row groups, encode each
+    independently (the decoder advances all groups in lockstep). Runs in
+    the native extension (`csrc/rans_coder.cpp` stf_lane_encode) — the
+    NumPy row loop is ~50x slower and kept as `lane_encode_numpy`."""
+    from ._binding import lane_encode_groups
+
+    symbols = np.asarray(symbols, np.int32).reshape(-1)
+    indexes = np.asarray(indexes, np.int32).reshape(-1)
+    n = symbols.size
+    symbols, indexes, tg = _pad_to_rows(symbols, indexes, tables)
+    words, word_counts, states, side, side_counts = lane_encode_groups(
+        symbols, indexes, tg, GROUPS, K,
+        tables.cdf, tables.lengths, tables.offsets,
+    )
+    return LaneStream(words, word_counts, states, side, side_counts, n)
+
+
+def _decode_group_reference(words, init_states, side, indexes, tables, T):
+    """Pure-NumPy forward decoder for one group — the kernel's oracle."""
+    idx2 = np.asarray(indexes, np.int64).reshape(T, K)
     words = np.asarray(words, np.uint64)
     state = np.asarray(init_states, np.uint64).copy()
     out = np.empty((T, K), np.int32)
@@ -146,57 +257,162 @@ def lane_decode_reference(
             vals[esc] = side[sbase : sbase + nesc]
             sbase += nesc
         out[t] = vals
-    return out.reshape(-1)[:n]
+    return out.reshape(-1)
 
 
-def lane_decode(
-    words, init_states, side, indexes, tables: LaneTables, n: int,
-    interpret: bool = False,
-):
-    """Device decoder: one Pallas program decodes the whole stream.
+def lane_decode_reference(
+    stream: LaneStream, indexes, tables: LaneTables
+) -> np.ndarray:
+    indexes = np.asarray(indexes, np.int32).reshape(-1)
+    _, indexes, tg = _pad_to_rows(
+        np.zeros(stream.n, np.int32), indexes, tables
+    )
+    wb = np.concatenate([[0], np.cumsum(stream.word_counts)])
+    sb = np.concatenate([[0], np.cumsum(stream.side_counts)])
+    out = []
+    gsz = tg * K
+    for g in range(GROUPS):
+        out.append(
+            _decode_group_reference(
+                stream.words[wb[g] : wb[g + 1]],
+                stream.states[g],
+                stream.side[sb[g] : sb[g + 1]],
+                indexes[g * gsz : (g + 1) * gsz],
+                tables,
+                tg,
+            )
+        )
+    return np.concatenate(out)[: stream.n]
 
-    All inputs are host arrays or device arrays; returns a device (n,)
-    int32 array of symbol values. `interpret=True` runs the kernel in the
-    Pallas interpreter (CPU CI).
+
+# -- stream framing -----------------------------------------------------------
+
+
+def pack_lane_stream(segments) -> bytes:
+    """Serialize a list of LaneStream segments into one byte string.
+
+    Layout (little-endian): u32 segment count; per segment u32 n_symbols,
+    G u32 word counts, G u32 side counts; then per segment, in order:
+    G*K u32 init states, words u16 (padded to 4-byte alignment), side i32.
     """
+    head = [np.asarray([len(segments)], "<u4").tobytes()]
+    body = []
+    for seg in segments:
+        head.append(np.asarray([seg.n], "<u4").tobytes())
+        head.append(np.asarray(seg.word_counts, "<u4").tobytes())
+        head.append(np.asarray(seg.side_counts, "<u4").tobytes())
+        chunk = (
+            np.asarray(seg.states, "<u4").tobytes()
+            + np.asarray(seg.words, "<u2").tobytes()
+        )
+        if len(chunk) % 4:
+            chunk += b"\x00\x00"
+        body.append(chunk + np.asarray(seg.side, "<i4").tobytes())
+    return b"".join(head + body)
+
+
+def unpack_lane_stream(buf: bytes):
+    """Inverse of pack_lane_stream: a list of LaneStream segments."""
+    buf = memoryview(buf)
+    count = int(np.frombuffer(buf[:4], "<u4")[0])
+    meta_w = 1 + 2 * GROUPS
+    meta = np.frombuffer(
+        buf[4 : 4 + 4 * meta_w * count], "<u4"
+    ).reshape(count, meta_w)
+    segments = []
+    pos = 4 + 4 * meta_w * count
+    for row in meta:
+        n = int(row[0])
+        wc = row[1 : 1 + GROUPS].astype(np.int64)
+        sc = row[1 + GROUPS :].astype(np.int64)
+        nw, ns = int(wc.sum()), int(sc.sum())
+        states = np.frombuffer(
+            buf[pos : pos + 4 * GROUPS * K], "<u4"
+        ).reshape(GROUPS, K)
+        pos += 4 * GROUPS * K
+        words = np.frombuffer(buf[pos : pos + 2 * nw], "<u2")
+        pos += 2 * nw + (2 * nw) % 4
+        side = np.frombuffer(buf[pos : pos + 4 * ns], "<i4")
+        pos += 4 * ns
+        segments.append(LaneStream(words, wc, states, side, sc, n))
+    return segments
+
+
+# -- device decoder -----------------------------------------------------------
+
+
+def pack_word_banks(stream: LaneStream, rows: int) -> np.ndarray:
+    """Per-group uint16 word streams -> (G*rows, K) int32 banks, two words
+    per element (little-endian halves), zero-padded. `rows` must cover
+    every group: words_rows_for(max(word_counts))."""
+    out = np.zeros((GROUPS, rows * K * 2), np.uint16)
+    wb = np.concatenate([[0], np.cumsum(stream.word_counts)])
+    for g in range(GROUPS):
+        w = stream.words[wb[g] : wb[g + 1]]
+        out[g, : w.size] = w
+    return (
+        out.reshape(-1)
+        .view("<u4")
+        .astype(np.int64)
+        .astype(np.int32)
+        .reshape(GROUPS * rows, K)
+    )
+
+
+def pad_side_banks(stream: LaneStream, rows: int) -> np.ndarray:
+    """Per-group int32 side channels -> (G*rows, K) int32 banks."""
+    out = np.zeros((GROUPS, rows * K), np.int32)
+    sb = np.concatenate([[0], np.cumsum(stream.side_counts)])
+    for g in range(GROUPS):
+        s = stream.side[sb[g] : sb[g + 1]]
+        out[g, : s.size] = s
+    return out.reshape(GROUPS * rows, K)
+
+
+def words_rows_for(n_words: int) -> int:
+    return (int(n_words) + 2 * K - 1) // (2 * K) + 2
+
+
+def side_rows_for(n_side: int) -> int:
+    return (int(n_side) + K - 1) // K + 2
+
+
+def device_tables(tables: LaneTables):
+    """LaneTables -> device arrays in the kernel's layout (cdf as f32:
+    values < 2^20 are f32-exact)."""
+    import jax.numpy as jnp
+
+    return (
+        jnp.asarray(tables.cdf.astype(np.float32)),
+        jnp.asarray(tables.lengths.astype(np.float32).reshape(-1, 1)),
+        jnp.asarray(tables.offsets.astype(np.float32).reshape(-1, 1)),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_kernel(tg: int, words_rows: int, side_rows: int,
+                   R: int, W: int, interpret: bool):
+    """Compiled grouped decoder: (Tg_pad*G, K) group-interleaved index
+    rows + resident stream banks -> symbols in the same layout. Sequential
+    grid over row chunks; lane states + per-group stream cursors persist
+    in scratch."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pad = (-n) % K
-    N = n + pad
-    T = N // K
-    indexes = np.asarray(indexes, np.int32).reshape(-1)
-    if pad:
-        indexes = np.concatenate([indexes, np.zeros(pad, np.int32)])
-    idx2 = jnp.asarray(indexes.reshape(T, K))
+    G = GROUPS
+    n_chunks = (tg + CHUNK_T - 1) // CHUNK_T
 
-    def rows_of(arr):
-        """1-D stream -> (rows, 128) int32, padded with 2 extra rows so the
-        2-row window at the final (row-aligned) base stays in bounds.
-        Row-aligned 2-row windows avoid dynamic lane-dim slicing (a Mosaic
-        weak spot); the in-window pick is a one-hot contraction."""
-        arr = np.asarray(arr, np.int64).astype(np.int32)
-        rows = (arr.size + K - 1) // K + 2
-        out = np.zeros(rows * K, np.int32)
-        out[: arr.size] = arr
-        return jnp.asarray(out.reshape(rows, K))
-
-    words2 = rows_of(np.asarray(words, np.uint16))
-    side2 = rows_of(side)
-    states0 = jnp.asarray(np.asarray(init_states, np.uint32))
-
-    cdf = jnp.asarray(tables.cdf.astype(np.float32))  # values < 2^20: exact
-    lens = jnp.asarray(tables.lengths.astype(np.float32).reshape(-1, 1))
-    offs = jnp.asarray(tables.offsets.astype(np.float32).reshape(-1, 1))
-    R = cdf.shape[0]
-
-    def kernel(idx_ref, words_ref, side_ref, states_ref, cdf_ref, lens_ref,
-               offs_ref, out_ref, base_ref, sbase_ref, st_ref):
-        st_ref[:] = states_ref[:]
-        base_ref[0] = 0
-        sbase_ref[0] = 0
+    def kernel(idx_ref, words_ref, side_ref, states_ref,
+               cdf_ref, lens_ref, offs_ref, out_ref,
+               base_ref, sbase_ref, st_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            st_ref[:] = states_ref[:]
+            for g in range(G):
+                base_ref[g] = 0
+                sbase_ref[g] = 0
 
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
         row_i = jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
@@ -205,44 +421,62 @@ def lane_decode(
             jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
             < jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
         ).astype(jnp.float32)
+        hp = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
-        def pick_window(stream_ref, base, rank_f, mask_k1):
-            """Lanes read stream[base + rank] (rank < K) without gathers:
-            load the 2 aligned rows covering [base, base+2K), then one-hot
-            select by in-window position."""
-            arow = base >> 7
-            off = (base & (K - 1)).astype(jnp.float32)
-            win = stream_ref[pl.ds(arow, 2), :].astype(jnp.float32)  # (2,K)
-            pos = off + rank_f  # (K,1) in [0, 2K)
-            lane_f = lane_i[:1, :].astype(jnp.float32)  # (1,K)
-            p0 = (pos == lane_f) & mask_k1
-            p1 = (pos - K == lane_f) & mask_k1
-            return jnp.sum(
-                jnp.where(p0, win[0:1, :], 0.0)
-                + jnp.where(p1, win[1:2, :], 0.0),
+        def pick(stream_ref, g_row0, base, rank, mask_k1, packed):
+            """Group-local stream read at uint16/int32 positions base+rank
+            (rank < K) without gathers: load the 2 aligned rows covering
+            the window, one-hot select each lane's element by in-window
+            position (integer select-sum: packed values exceed f32's
+            exact-int range), then for packed streams pick the uint16 half
+            by position parity."""
+            pos = base + rank  # (K, 1) int32 stream positions
+            if packed:
+                arow = base >> 8  # int32 row = 256 uint16 slots
+                o = (pos >> 1) - ((base >> 8) << 7)
+            else:
+                arow = base >> 7
+                o = pos - ((base >> 7) << 7)
+            win = stream_ref[pl.ds(g_row0 + arow, 2), :]  # (2, K) int32
+            p0 = (o == lane_i) & mask_k1
+            p1 = (o - K == lane_i) & mask_k1
+            w = jnp.sum(
+                jnp.where(p0, win[0:1, :], 0)
+                + jnp.where(p1, win[1:2, :], 0),
                 axis=1,
-            )  # (K,)
+            )  # (K,) int32
+            if packed:
+                w = jnp.where(
+                    (pos.reshape(K) & 1) == 1, (w >> 16) & 0xFFFF,
+                    w & 0xFFFF,
+                )
+            return w
 
-        def step(t, _):
-            state = st_ref[:]  # (1, K) uint32
-            idx = idx_ref[t, :].reshape(K, 1)  # (K, 1) int32
+        t0 = pl.program_id(0) * CHUNK_T
+
+        def group_step(g, t):
+            """One group's decode step: identical math to the single-group
+            kernel, on (K, *) shapes Mosaic lowers cleanly (a fused
+            (G*K, W) layout hits unsupported (G, K)->(G*K, 1) shape
+            casts). The G copies are data-independent, so the VLIW
+            scheduler can overlap their serial chains."""
+            state = st_ref[g : g + 1, :]  # (1, K) uint32
+            # group-interleaved row layout: row t*G+g is group g's row t
+            # (full-width loads at a dynamic row index; Mosaic rejects
+            # column-offset slices at dynamic rows)
+            idx = idx_ref[t * G + g, :].reshape(K, 1)
 
             onehot = (idx == row_i).astype(jnp.float32)  # (K, R)
-            rows = jnp.dot(
-                onehot, cdf_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST
-            )  # (K, W)
-            rlen = jnp.dot(
-                onehot, lens_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST
-            )  # (K, 1)
-            roff = jnp.dot(
-                onehot, offs_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST
-            )  # (K, 1)
+            rows = jnp.dot(onehot, cdf_ref[:], **hp)  # (K, W)
+            rlen = jnp.dot(onehot, lens_ref[:], **hp)  # (K, 1)
+            roff = jnp.dot(onehot, offs_ref[:], **hp)  # (K, 1)
 
+            slot_u = state & 0xFFFF  # (1, K)
             slot = (
-                (state & 0xFFFF).astype(jnp.int32).astype(jnp.float32)
+                slot_u.astype(jnp.int32).astype(jnp.float32)
             ).reshape(K, 1)  # two-step cast: Mosaic lacks uint32<->f32
             le = rows <= slot  # (K, W); SENTINEL pads are never <=
             s = jnp.sum(
@@ -252,61 +486,132 @@ def lane_decode(
             nxt = jnp.min(
                 jnp.where(le, float(SENTINEL), rows), axis=1, keepdims=True
             )
-            freq = (nxt - cum).astype(jnp.int32).astype(jnp.uint32).reshape(1, K)
+            freq = (
+                (nxt - cum).astype(jnp.int32).astype(jnp.uint32)
+            ).reshape(1, K)
             cum_u = cum.astype(jnp.int32).astype(jnp.uint32).reshape(1, K)
-            slot_u = state & 0xFFFF
 
             state = freq * (state >> PRECISION) + (slot_u - cum_u)
 
-            # renormalize: lanes below L consume one word each, in lane order
+            # renormalize: lanes below L consume one word each, lane order
             m = state < RANS_L  # (1, K)
             mf = m.astype(jnp.float32)
-            rank = jnp.dot(mf, tri, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            w = pick_window(
-                words_ref, base_ref[0], rank.reshape(K, 1), m.reshape(K, 1)
-            ).reshape(1, K).astype(jnp.int32).astype(jnp.uint32)
+            rank = jnp.dot(mf, tri, **hp).astype(jnp.int32)
+            w = pick(
+                words_ref, g * words_rows, base_ref[g],
+                rank.reshape(K, 1), m.reshape(K, 1), True,
+            ).reshape(1, K).astype(jnp.uint32)
             state = jnp.where(m, (state << PRECISION) | w, state)
-            st_ref[:] = state
-            base_ref[0] = base_ref[0] + jnp.sum(mf).astype(jnp.int32)
+            st_ref[g : g + 1, :] = state
+            base_ref[g] = base_ref[g] + jnp.sum(mf).astype(jnp.int32)
 
             # escapes take raw values from the side channel, in lane order
             # (escape slot index is len-2; s never exceeds it)
             esc = s.reshape(1, K) >= rlen.reshape(1, K) - 2.5
             ef = esc.astype(jnp.float32)
-            erank = jnp.dot(ef, tri, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            sval = pick_window(
-                side_ref, sbase_ref[0], erank.reshape(K, 1),
-                esc.reshape(K, 1),
+            erank = jnp.dot(ef, tri, **hp).astype(jnp.int32)
+            sval = pick(
+                side_ref, g * side_rows, sbase_ref[g],
+                erank.reshape(K, 1), esc.reshape(K, 1), False,
             ).reshape(1, K)
-            sbase_ref[0] = sbase_ref[0] + jnp.sum(ef).astype(jnp.int32)
+            sbase_ref[g] = sbase_ref[g] + jnp.sum(ef).astype(jnp.int32)
 
             vals = (s + roff).reshape(1, K)
             vals = jnp.where(esc, sval, vals).astype(jnp.int32)
-            out_ref[t, :] = vals.reshape(K)
+            out_ref[t * G + g, :] = vals.reshape(K)
+
+        def step(t, _):
+            @pl.when(t0 + t < tg)
+            def _body():
+                for g in range(G):
+                    group_step(g, t)
+
             return 0
 
-        jax.lax.fori_loop(0, T, step, 0)
+        jax.lax.fori_loop(0, CHUNK_T, step, 0)
 
-    out = pl.pallas_call(
+    fn = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T, K), jnp.int32),
+        grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # idx (T, K)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # words (rows, K)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # side (rows, K)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # init states (1, K)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # cdf (R, W)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # lengths (R, 1)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # offsets (R, 1)
+            pl.BlockSpec((CHUNK_T * G, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),           # idx chunk
+            pl.BlockSpec((G * words_rows, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),           # word banks
+            pl.BlockSpec((G * side_rows, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),           # side banks
+            pl.BlockSpec((G, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),           # init states
+            pl.BlockSpec((R, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),           # cdf
+            pl.BlockSpec((R, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),           # lengths
+            pl.BlockSpec((R, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),           # offsets
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((CHUNK_T * G, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks * CHUNK_T * G, K), jnp.int32
+        ),
         scratch_shapes=[
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((1, K), jnp.uint32),
+            pltpu.SMEM((GROUPS,), jnp.int32),    # word cursors (u16 units)
+            pltpu.SMEM((GROUPS,), jnp.int32),    # side cursors
+            pltpu.VMEM((GROUPS, K), jnp.uint32),  # lane states
         ],
         interpret=interpret,
-    )(idx2, words2, side2, states0.reshape(1, K), cdf, lens, offs)
-    return out.reshape(-1)[:n]
+    )
+    return jax.jit(fn)
+
+
+def lane_decode_device(idx_dev, words_dev, side_dev, states_dev,
+                       cdf_dev, lens_dev, offs_dev, n: int,
+                       interpret: bool = False):
+    """Decode a segment with DEVICE-resident inputs (jit-friendly: no host
+    data needed). idx_dev: any-shape integer array, flattened in C order;
+    words_dev/side_dev: packed/padded resident banks (pack_word_banks /
+    pad_side_banks); states_dev: (G, K) uint32. Returns (n,) int32."""
+    import jax.numpy as jnp
+
+    rows = (n + K - 1) // K
+    tg = (rows + GROUPS - 1) // GROUPS
+    idx = idx_dev.reshape(-1).astype(jnp.int32)
+    idx = jnp.pad(idx, (0, GROUPS * tg * K - n))
+    # (G, Tg, K) -> (Tg*G, K) group-interleaved rows: step t decodes rows
+    # [t*G, (t+1)*G) — row t of every group
+    idx = jnp.transpose(
+        idx.reshape(GROUPS, tg, K), (1, 0, 2)
+    ).reshape(tg * GROUPS, K)
+    n_chunks = (tg + CHUNK_T - 1) // CHUNK_T
+    idx = jnp.pad(idx, ((0, (n_chunks * CHUNK_T - tg) * GROUPS), (0, 0)))
+
+    fn = _decode_kernel(
+        tg, words_dev.shape[0] // GROUPS, side_dev.shape[0] // GROUPS,
+        cdf_dev.shape[0], cdf_dev.shape[1], interpret,
+    )
+    out = fn(idx, words_dev, side_dev, states_dev,
+             cdf_dev, lens_dev, offs_dev)  # (Tg_pad*G, K)
+    out = jnp.transpose(
+        out[: tg * GROUPS].reshape(tg, GROUPS, K), (1, 0, 2)
+    ).reshape(-1)
+    return out[:n]
+
+
+def lane_decode(stream: LaneStream, indexes, tables: LaneTables,
+                interpret: bool = False):
+    """Device decoder from a host-side LaneStream (uploads the banks, then
+    runs the chunked kernel). `interpret=True` uses the Pallas
+    interpreter (CPU CI)."""
+    import jax.numpy as jnp
+
+    wr = words_rows_for(stream.word_counts.max() if len(stream.word_counts) else 0)
+    sr = side_rows_for(stream.side_counts.max() if len(stream.side_counts) else 0)
+    words_dev = jnp.asarray(pack_word_banks(stream, wr))
+    side_dev = jnp.asarray(pad_side_banks(stream, sr))
+    states_dev = jnp.asarray(stream.states)
+    cdf_dev, lens_dev, offs_dev = device_tables(tables)
+    idx_dev = jnp.asarray(np.asarray(indexes, np.int32).reshape(-1))
+    return lane_decode_device(
+        idx_dev, words_dev, side_dev, states_dev,
+        cdf_dev, lens_dev, offs_dev, stream.n, interpret=interpret,
+    )

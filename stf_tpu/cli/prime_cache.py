@@ -1,0 +1,97 @@
+"""Pre-compile the codec's shape-specialized programs into the persistent
+compile cache, so first real use of a shape pays cache-deserialize cost
+(~100s of ms) instead of a full XLA compile (minutes per shape on a
+remote/tunneled TPU).
+
+The codec path compiles one program set per padded input shape (inputs pad
+to x64 buckets, `eval_model.pad_to_multiple`). This entry point runs a full
+compress+decompress on synthetic data for each requested bucket; with
+`stf_tpu.utils.cache.enable_compile_cache` active (default here), every
+compiled program lands in the on-disk cache shared with eval_model / bench.
+
+Usage:
+    python -m stf_tpu.cli.prime_cache -a cnn -p ckpt.msgpack \
+        --shapes 512x768,768x512 --batch-sizes 1,24
+
+The reference has no analog (torch eager pays no compile); this is the
+TPU-native answer to VERDICT's single-image first-use latency gap.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def prime(codec, shapes, batch_sizes):
+    """Run compress+decompress on zeros for every (batch, H, W) bucket."""
+    import jax
+
+    for bs in batch_sizes:
+        for h, w in shapes:
+            t0 = time.time()
+            batch = np.zeros((bs, h, w, 3), np.uint8)
+            out = codec.compress(batch)
+            dec = codec.decompress(out["strings"], out["shape"])
+            jax.block_until_ready(dec["x_hat"])
+            print(
+                f"primed ({bs}, {h}, {w}, 3) in {time.time() - t0:.1f}s",
+                file=sys.stderr,
+            )
+
+
+def parse_shapes(spec):
+    shapes = []
+    for part in spec.split(","):
+        h, w = part.lower().split("x")
+        h, w = int(h), int(w)
+        if h % 64 or w % 64:
+            raise ValueError(
+                f"shape {part} is not a x64 bucket (inputs pad to x64)"
+            )
+        shapes.append((h, w))
+    return shapes
+
+
+def main(argv=None):
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-a", "--architecture", type=str, required=True)
+    p.add_argument("-p", "--path", type=str, required=True)
+    p.add_argument(
+        "--shapes",
+        type=str,
+        default="512x768,768x512",
+        help="comma-separated HxW padded buckets (multiples of 64)",
+    )
+    p.add_argument(
+        "--batch-sizes", type=str, default="1",
+        help="comma-separated batch sizes to prime",
+    )
+    p.add_argument(
+        "--half", action="store_true", help="prime the bfloat16 variant"
+    )
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..models import Codec
+    from ..zoo import load_checkpoint
+
+    model, params = load_checkpoint(args.path, args.architecture)
+    codec = Codec(
+        model, params, dtype=jnp.bfloat16 if args.half else None
+    )
+    prime(
+        codec,
+        parse_shapes(args.shapes),
+        [int(b) for b in args.batch_sizes.split(",")],
+    )
+
+
+if __name__ == "__main__":
+    main()

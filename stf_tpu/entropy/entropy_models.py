@@ -373,6 +373,13 @@ class EntropyBottleneckCoder:
     def compress(self, z: np.ndarray) -> list:
         z = np.asarray(z, np.float32)
         symbols = np.rint(z - self.medians).astype(np.int32)  # NHWC broadcast
+        return self.compress_symbols(symbols)
+
+    def compress_symbols(self, symbols: np.ndarray) -> list:
+        """Encode pre-quantized symbols (rint(z - medians), any int dtype).
+        Lets the quantization run on device so only ~1 byte/symbol crosses
+        the link instead of the float latent."""
+        symbols = np.asarray(symbols, np.int32)
         B = symbols.shape[0]
         C = symbols.shape[-1]
         indexes = np.broadcast_to(

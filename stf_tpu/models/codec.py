@@ -37,6 +37,37 @@ from ..entropy import (
 )
 
 
+def _bucket(rows: int, minimum: int = 8) -> int:
+    """Round a row count up to a power of two: quantizes the lane-decoder
+    stream-buffer shapes so content-length jitter doesn't recompile."""
+    b = minimum
+    while b < rows:
+        b <<= 1
+    return b
+
+
+_HASH_MUL = np.uint64(2654435761)
+_HASH_ADD = np.uint64(97531)
+
+
+def _idx_hash_host(idx_np: np.ndarray) -> int:
+    """Position-weighted hash of a scale-index array, mod 2^32. The device
+    twin (`_idx_hash_dev`) computes the identical value: uint32 products
+    and sums wrap mod 2^32 on both sides, and addition mod 2^32 is
+    associative so the reduction order doesn't matter."""
+    flat = np.ascontiguousarray(idx_np).reshape(-1).astype(np.uint64)
+    i = np.arange(flat.size, dtype=np.uint64)
+    w = (i * _HASH_MUL + _HASH_ADD) & np.uint64(0xFFFFFFFF)
+    return int(np.sum(flat * w, dtype=np.uint64) & np.uint64(0xFFFFFFFF))
+
+
+def _idx_hash_dev(idx):
+    flat = idx.reshape(-1).astype(jnp.uint32)
+    i = jax.lax.iota(jnp.uint32, flat.size)
+    w = i * jnp.uint32(2654435761) + jnp.uint32(97531)
+    return jnp.sum(flat * w, dtype=jnp.uint32)
+
+
 class Codec:
     """Wraps (model, params) with CDF tables and jitted coding-path fns.
 
@@ -56,7 +87,35 @@ class Codec:
         scale_table: Optional[np.ndarray] = None,
         pipeline: int = 1,
         dtype=None,
+        coder: str = "host",
     ):
+        """`coder` picks the y-latent entropy backend:
+          * "host" — reference-contract rANS on the CPU (default); indexes
+            cross device->host and symbols host->device every slice.
+          * "lane" — TPU-resident interleaved lane-rANS (`ans/lane_coder`):
+            the bitstream uploads once and a Pallas kernel decodes each
+            slice on device, so the decode walk never touches the host.
+            Its stream layout is framework-defined (not interoperable with
+            "host" streams); lockstep safety is unchanged because both
+            sides still run the same compiled `decode_slice_*` programs —
+            only the source of the symbol tensor differs.
+        The z-latent always uses the host factorized coder (one small
+        stream, no AR dependency).
+        """
+        if coder not in ("host", "lane"):
+            raise ValueError(f"unknown entropy coder {coder!r}")
+        self.coder = coder
+        # lane decompress runs the ENTIRE walk (hyper -> S slices x decode
+        # kernel -> synthesis) as ONE jitted program — one dispatch instead
+        # of ~2 per slice. Correctness: the fused program is a different
+        # XLA executable than the encoder's per-slice programs, so its
+        # float-derived scale indexes are not a-priori bit-guaranteed; the
+        # stream carries a hash of each slice's encoder-side indexes, the
+        # fused program emits its own, and any mismatch falls back to the
+        # per-slice walk that shares executables with the encoder
+        # (lockstep-exact by construction). Set False to always use the
+        # per-slice walk.
+        self.fused = True
         self.model = model
         self.pipeline = max(int(pipeline), 1)
         self.scale_table = (
@@ -110,6 +169,7 @@ class Codec:
         # scale-table indexes fit in a byte (64 levels): cast before the
         # device->host transfer, which is the scarce resource in the walk
         idx_dtype = jnp.uint8 if len(self.scale_table) <= 255 else jnp.int32
+        self._idx_dtype = idx_dtype
         table = jnp.asarray(self.scale_table)
 
         def slice_idx(p, i, lm, ls, support):
@@ -145,6 +205,22 @@ class Codec:
             return q32, q8, overflow
 
         self._quantize = jax.jit(quantize)
+
+        def z_quantize(z, medians):
+            # device-side z quantization: only ~1 byte/symbol crosses the
+            # link for the factorized stream (vs the 4-byte float latent),
+            # and z_hat never round-trips. Bit-exact with the host path:
+            # bf16 z casts to f32 first (exact), round is half-to-even like
+            # np.rint, and z_hat = symbols + medians in f32 — the same ops
+            # the decoder performs on the same values.
+            z32 = z.astype(jnp.float32)
+            sym32 = jnp.round(z32 - medians).astype(jnp.int32)
+            sym8 = jnp.clip(sym32, -128, 127).astype(jnp.int8)
+            overflow = jnp.any(sym32 != sym8.astype(jnp.int32))
+            z_hat = sym32.astype(jnp.float32) + medians
+            return sym32, sym8, overflow, z_hat
+
+        self._z_quantize = jax.jit(z_quantize)
         self._synth = jax.jit(
             lambda p, y_hat: model.apply({"params": p}, y_hat, method="synthesize")
         )
@@ -162,7 +238,162 @@ class Codec:
         self.gc_coder = GaussianConditionalCoder(
             build_gc_tables(self.scale_table), self.scale_table
         )
+        if self.coder == "lane":
+            from ..ans import lane_coder as lc
+
+            # device tables with each row's symbol window clamped to ±127
+            # (the same window the int8 symbol-transfer path assumes);
+            # out-of-window values ride the raw side channel
+            self.lane_tables = lc.truncate_tables(
+                *self.gc_coder.tables.astuple()
+            )
+            self._lane_dev_tables = lc.device_tables(self.lane_tables)
+            self._lane_rv_cache: Dict = {}
+            self._lane_fused_cache: Dict = {}
         return True
+
+    def _fused_decode_fn(self, subs, y_shape, wr, sr, ns):
+        """Build (or fetch) the one-dispatch lane decompress program: z_hat
+        + resident stream banks -> (x_hat, per-segment idx hashes)."""
+        from ..ans import lane_coder as lc
+
+        key = (tuple(subs), y_shape, wr, sr, tuple(ns))
+        fn = self._lane_fused_cache.get(key)
+        if fn is not None:
+            return fn
+
+        model = self.model
+        S = model.num_slices
+        k_supp = model.max_support_slices
+        K_subs = len(subs)
+        table = jnp.asarray(self.scale_table)
+        idx_dtype = self._idx_dtype
+        interpret = jax.default_backend() != "tpu"
+
+        def fn(params, z_hat, words, side, states, cdf, lens, offs):
+            lm_all, ls_all = model.apply(
+                {"params": params}, z_hat, y_shape, method="hyper_synthesize"
+            )
+            hashes: Dict = {}
+            y_hat_subs = []
+            for k, (lo, hi) in enumerate(subs):
+                lm, ls = lm_all[lo:hi], ls_all[lo:hi]
+                y_hat_slices: List = []
+
+                def support():
+                    return tuple(
+                        y_hat_slices if k_supp < 0 else y_hat_slices[:k_supp]
+                    )
+
+                mu, idx = model.apply(
+                    {"params": params}, 0, lm, ls, (), table,
+                    method="decode_slice_indexes",
+                )
+                for i in range(S):
+                    seg = i * K_subs + k
+                    idx_q = idx.astype(idx_dtype)
+                    hashes[(i, k)] = _idx_hash_dev(idx_q)
+                    n = int(np.prod(idx.shape))
+                    if n != ns[seg]:
+                        raise ValueError(
+                            "lane segment symbol count does not match the "
+                            "slice shape"
+                        )
+                    rv = lc.lane_decode_device(
+                        idx_q, words[seg], side[seg], states[seg],
+                        cdf, lens, offs, n, interpret=interpret,
+                    ).reshape(idx.shape).astype(jnp.int32)
+                    if i < S - 1:
+                        y_prev, mu, idx = model.apply(
+                            {"params": params}, i + 1, lm, ls, support(),
+                            mu, rv, table, method="decode_slice_fused",
+                        )
+                        y_hat_slices.append(y_prev)
+                    else:
+                        y_hat_slices.append(
+                            model.apply(
+                                {"params": params}, S - 1, lm, support(),
+                                mu, rv, method="decode_slice_apply",
+                            )
+                        )
+                y_hat_subs.append(jnp.concatenate(y_hat_slices, axis=-1))
+            y_hat = jnp.concatenate(y_hat_subs, axis=0)
+            x_hat = model.apply(
+                {"params": params}, y_hat, method="synthesize"
+            )
+            hvec = jnp.stack(
+                [hashes[(i, k)] for i in range(S) for k in range(K_subs)]
+            )
+            return x_hat, hvec
+
+        fn = jax.jit(fn)
+        self._lane_fused_cache[key] = fn
+        return fn
+
+    def _fused_decompress(self, z_hat, y_shape, subs, segments, enc_hashes):
+        """One-dispatch lane decompress. Returns x_hat, or None if the
+        fused program's idx hashes don't match the stream's (caller then
+        falls back to the lockstep per-slice walk)."""
+        from ..ans import lane_coder as lc
+
+        # common buckets across segments so the banks stack into one array
+        wr = _bucket(max(
+            lc.words_rows_for(s.word_counts.max()) for s in segments
+        ))
+        sr = _bucket(max(
+            lc.side_rows_for(s.side_counts.max()) for s in segments
+        ))
+        words = jax.device_put(
+            np.stack([lc.pack_word_banks(s, wr) for s in segments])
+        )
+        side = jax.device_put(
+            np.stack([lc.pad_side_banks(s, sr) for s in segments])
+        )
+        states = jax.device_put(
+            np.stack([np.ascontiguousarray(s.states) for s in segments])
+        )
+        fn = self._fused_decode_fn(
+            subs, y_shape, wr, sr, tuple(s.n for s in segments)
+        )
+        x_hat, hvec = fn(
+            self.params, z_hat, words, side, states, *self._lane_dev_tables
+        )
+        if np.array_equal(np.asarray(hvec), enc_hashes):
+            return x_hat
+        import warnings
+
+        warnings.warn(
+            "fused lane decode derived different scale indexes than the "
+            "encoder; falling back to the per-slice walk",
+            RuntimeWarning,
+        )
+        return None
+
+    def _lane_rv(self, idx, words_dev, side_dev, states_dev):
+        """Decode one lane-rANS segment on device: (idx-shaped int32
+        symbols). jit-cached per (idx shape, stream bucket shapes)."""
+        import jax.numpy as jnp
+
+        from ..ans import lane_coder as lc
+
+        key = (idx.shape, words_dev.shape[0], side_dev.shape[0])
+        fn = self._lane_rv_cache.get(key)
+        if fn is None:
+            n = int(np.prod(idx.shape))
+            # the Mosaic kernel needs a real TPU; CPU (tests, CI) runs the
+            # same kernel through the Pallas interpreter
+            interpret = jax.default_backend() != "tpu"
+
+            def decode(idx, w, sd, st, cdf, lens, offs):
+                rv = lc.lane_decode_device(
+                    idx, w, sd, st, cdf, lens, offs, n, interpret=interpret
+                )
+                return rv.reshape(idx.shape).astype(jnp.int32)
+
+            fn = jax.jit(decode)
+            self._lane_rv_cache[key] = fn
+        return fn(idx, words_dev, side_dev, states_dev,
+                  *self._lane_dev_tables)
 
     # -- shared per-slice walk ------------------------------------------------
 
@@ -219,18 +450,18 @@ class Codec:
     def compress(self, x) -> Dict[str, Any]:
         """x: NHWC float array in [0,1]. Returns strings + z spatial shape."""
         y, z = self._analyze(self.params, jnp.asarray(x))
-        z_np = np.asarray(z)
-
-        z_strings = self.eb_coder.compress(z_np)
-        # Reconstruct z_hat exactly as the decoder will (round + medians).
-        z_hat = jnp.asarray(self.eb_coder.decompress(z_strings, z_np.shape[1:3]))
+        # z_hat is built on device exactly as the decoder will (round +
+        # medians, f32); the int8 symbol copy drains asynchronously for the
+        # host factorized coder while the hyper/walk dispatches proceed
+        z_sym32, z_sym8, z_overflow, z_hat = self._z_quantize(
+            z, jnp.asarray(self.eb_coder.medians)
+        )
+        self._start_transfer(z_sym8)
 
         y_shape = (y.shape[1], y.shape[2])
         latent_means, latent_scales = self._hyper(self.params, z_hat, y_shape)
         bounds = self.model.slice_boundaries(y.shape[-1])
 
-        cdf, lengths, offsets = self.gc_coder.tables.astuple()
-        encoder = BufferedRansEncoder()
         pending = {}  # (slice, sub) -> (q32, q8, overflow, idx)
 
         # Per-sub-batch walks: all device work enqueues asynchronously, and
@@ -250,21 +481,48 @@ class Codec:
             self._walk_slices(lm, ls, get_symbols)
 
         # (slice, sub-batch) order — must match the decoder's read order
-        for key in sorted(pending):
-            q32, q8, overflow, idx = pending[key]
-            q = q32 if bool(overflow) else q8
-            encoder.encode_with_indexes(
-                np.asarray(q).reshape(-1),
-                np.asarray(idx).reshape(-1),
-                cdf,
-                lengths,
-                offsets,
+        if self.coder == "lane":
+            from ..ans import lane_coder as lc
+
+            segments, hashes = [], []
+            for key in sorted(pending):
+                q32, q8, overflow, idx = pending[key]
+                q = q32 if bool(overflow) else q8
+                idx_np = np.asarray(idx)
+                # hash of the idx array the stream was encoded under: the
+                # fused decoder proves it derived the same indexes (else it
+                # falls back to the lockstep per-slice walk)
+                hashes.append(_idx_hash_host(idx_np))
+                segments.append(lc.lane_encode(
+                    np.asarray(q).reshape(-1),
+                    idx_np.reshape(-1),
+                    self.lane_tables,
+                ))
+            y_string = (
+                np.asarray(hashes, "<u4").tobytes()
+                + lc.pack_lane_stream(segments)
             )
-        y_string = encoder.flush()
+        else:
+            cdf, lengths, offsets = self.gc_coder.tables.astuple()
+            encoder = BufferedRansEncoder()
+            for key in sorted(pending):
+                q32, q8, overflow, idx = pending[key]
+                q = q32 if bool(overflow) else q8
+                encoder.encode_with_indexes(
+                    np.asarray(q).reshape(-1),
+                    np.asarray(idx).reshape(-1),
+                    cdf,
+                    lengths,
+                    offsets,
+                )
+            y_string = encoder.flush()
+
+        z_sym = np.asarray(z_sym32 if bool(z_overflow) else z_sym8)
+        z_strings = self.eb_coder.compress_symbols(z_sym)
 
         return {
             "strings": [[y_string], z_strings],
-            "shape": tuple(z_np.shape[1:3]),
+            "shape": (z_hat.shape[1], z_hat.shape[2]),
         }
 
     # -- decompress ----------------------------------------------------------
@@ -274,11 +532,6 @@ class Codec:
         z_hat = jnp.asarray(self.eb_coder.decompress(z_strings, shape))
         up = self.model.hyper_upsample
         y_shape = (shape[0] * up, shape[1] * up)
-        latent_means, latent_scales = self._hyper(self.params, z_hat, y_shape)
-
-        cdf, lengths, offsets = self.gc_coder.tables.astuple()
-        decoder = RansDecoder()
-        decoder.set_stream(y_strings[0])
 
         B = z_hat.shape[0]
         subs = self._sub_batches(B)
@@ -286,6 +539,43 @@ class Codec:
         S = self.model.num_slices
         k_supp = self.model.max_support_slices
 
+        if self.coder == "lane":
+            from ..ans import lane_coder as lc
+
+            enc_hashes = np.frombuffer(
+                y_strings[0][: 4 * S * K], "<u4"
+            ).copy()
+            segments = lc.unpack_lane_stream(y_strings[0][4 * S * K:])
+            if len(segments) != S * K:
+                raise ValueError(
+                    f"lane stream has {len(segments)} segments, expected "
+                    f"{S * K} (num_slices x pipeline mismatch?)"
+                )
+            if self.fused:
+                x_hat = self._fused_decompress(
+                    z_hat, y_shape, subs, segments, enc_hashes
+                )
+                if x_hat is not None:
+                    return {"x_hat": x_hat}
+            # per-slice walk (fused off, or hash-mismatch fallback):
+            # upload every segment's stream banks up front — the H2D
+            # transfers overlap the hyper synthesis + walk dispatches
+            dev_segs = []
+            for seg in segments:
+                wr = _bucket(lc.words_rows_for(seg.word_counts.max()))
+                sr = _bucket(lc.side_rows_for(seg.side_counts.max()))
+                dev_segs.append((
+                    jax.device_put(lc.pack_word_banks(seg, wr)),
+                    jax.device_put(lc.pad_side_banks(seg, sr)),
+                    jax.device_put(np.ascontiguousarray(seg.states)),
+                    seg.n,
+                ))
+        else:
+            cdf, lengths, offsets = self.gc_coder.tables.astuple()
+            decoder = RansDecoder()
+            decoder.set_stream(y_strings[0])
+
+        latent_means, latent_scales = self._hyper(self.params, z_hat, y_shape)
         lm = [latent_means[lo:hi] for lo, hi in subs]
         ls = [latent_scales[lo:hi] for lo, hi in subs]
         y_hats: List[List] = [[] for _ in range(K)]
@@ -299,21 +589,38 @@ class Codec:
         # Interleave the K sub-batch walks: while sub-batch k's symbols run
         # through the host rANS decoder, the other sub-batches' dispatches
         # and index transfers are in flight.
+        lane = self.coder == "lane"
+        if lane and len(dev_segs) != S * K:
+            raise ValueError(
+                f"lane stream has {len(dev_segs)} segments, expected "
+                f"{S * K} (num_slices x pipeline mismatch?)"
+            )
         for k in range(K):
             mu[k], idx[k] = self._slice_idx(self.params, 0, lm[k], ls[k], ())
-            self._start_transfer(idx[k])
+            if not lane:
+                self._start_transfer(idx[k])
         for i in range(S):
             for k in range(K):
-                idx_np = np.asarray(idx[k])
-                rv = decoder.decode_stream(
-                    idx_np.reshape(-1), cdf, lengths, offsets
-                )
-                rv = jnp.asarray(rv.reshape(idx_np.shape))
+                if lane:
+                    words_d, side_d, states_d, n = dev_segs[i * K + k]
+                    if n != int(np.prod(idx[k].shape)):
+                        raise ValueError(
+                            "lane segment symbol count does not match the "
+                            "slice shape"
+                        )
+                    rv = self._lane_rv(idx[k], words_d, side_d, states_d)
+                else:
+                    idx_np = np.asarray(idx[k])
+                    rv = decoder.decode_stream(
+                        idx_np.reshape(-1), cdf, lengths, offsets
+                    )
+                    rv = jnp.asarray(rv.reshape(idx_np.shape))
                 if i < S - 1:
                     y_prev, mu[k], idx[k] = self._slice_fused(
                         self.params, i + 1, lm[k], ls[k], support(k), mu[k], rv
                     )
-                    self._start_transfer(idx[k])
+                    if not lane:
+                        self._start_transfer(idx[k])
                     y_hats[k].append(y_prev)
                 else:
                     y_hats[k].append(

@@ -1,0 +1,223 @@
+"""Lane-rANS codec backend (`Codec(coder="lane")`): the device entropy
+decoder wired into the real compress/decompress walk.
+
+The decisive property: the lane backend must reproduce the host backend's
+reconstruction BIT-FOR-BIT. Both backends drive the same compiled
+`decode_slice_*` programs and code the same symbols losslessly, so any
+x_hat mismatch means a stream desync. (Host-backend correctness against
+the reference is pinned by tests/test_reference_parity.py.)
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from stf_tpu.ans.lane_coder import (
+    lane_decode,
+    lane_decode_reference,
+    lane_encode,
+    pack_lane_stream,
+    truncate_tables,
+    unpack_lane_stream,
+)
+from stf_tpu.entropy import build_gc_tables
+from stf_tpu.models import Codec, WACNN
+from stf_tpu.models.tbc import TransformerBasedCoding
+from stf_tpu.training import create_train_state
+
+SMALL = dict(N=32, M=40, num_slices=4, max_support_slices=2)
+
+
+@pytest.fixture(scope="module")
+def small_model_state():
+    model = WACNN(**SMALL)
+    state = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+    )
+    return model, state
+
+
+def test_truncated_gc_tables_roundtrip():
+    """Wide Gaussian-conditional rows clamp to ±127 symbol windows; symbols
+    beyond the window (and beyond the original row) escape to the side
+    channel and still round-trip exactly."""
+    scales = np.exp(
+        np.linspace(np.log(0.11), np.log(64.0), 12)
+    ).astype(np.float32)
+    full = build_gc_tables(scales)
+    tables = truncate_tables(*full.astuple())
+    assert tables.cdf.shape[1] <= 2 * 127 + 3
+    # wide rows got clamped, small rows kept verbatim
+    assert tables.lengths.max() == 2 * 127 + 3
+    assert tables.lengths.min() == np.asarray(full.cdf_length).min()
+
+    rng = np.random.default_rng(0)
+    n = 3000
+    idx = rng.integers(0, scales.size, n).astype(np.int32)
+    sym = rng.normal(0, scales[idx] * 0.7).round().astype(np.int32)
+    # force out-of-window and extreme outliers
+    sym[:50] = rng.integers(128, 4000, 50)
+    sym[50:100] = -rng.integers(128, 4000, 50)
+
+    stream = lane_encode(sym, idx, tables)
+    assert stream.side.size >= 100  # the forced outliers escaped
+    dec = lane_decode_reference(stream, idx, tables)
+    np.testing.assert_array_equal(dec, sym)
+    dev = np.asarray(lane_decode(stream, idx, tables, interpret=True))
+    np.testing.assert_array_equal(dev, sym)
+
+
+def test_stream_framing_roundtrip():
+    """pack/unpack is lossless, exercised through real encoded segments of
+    varied sizes (odd word counts hit the 4-byte alignment padding)."""
+    rng = np.random.default_rng(1)
+    scales = np.exp(
+        np.linspace(np.log(0.2), np.log(4.0), 6)
+    ).astype(np.float32)
+    tables = truncate_tables(*build_gc_tables(scales).astuple())
+    segments = []
+    originals = []
+    for n in (17, 1290, 5000, 128):
+        idx = rng.integers(0, scales.size, n).astype(np.int32)
+        sym = rng.normal(0, 2.0, n).round().astype(np.int32)
+        sym[: max(1, n // 50)] = 500  # a few escapes
+        segments.append(lane_encode(sym, idx, tables))
+        originals.append((sym, idx))
+    blob = pack_lane_stream(segments)
+    back = unpack_lane_stream(blob)
+    assert len(back) == len(segments)
+    for seg, seg2, (sym, idx) in zip(segments, back, originals):
+        np.testing.assert_array_equal(seg.words, seg2.words)
+        np.testing.assert_array_equal(seg.states, seg2.states)
+        np.testing.assert_array_equal(seg.side, seg2.side)
+        np.testing.assert_array_equal(seg.word_counts, seg2.word_counts)
+        np.testing.assert_array_equal(seg.side_counts, seg2.side_counts)
+        assert seg.n == seg2.n
+        np.testing.assert_array_equal(
+            lane_decode_reference(seg2, idx, tables), sym
+        )
+
+
+class TestLaneCodec:
+    def test_roundtrip_matches_host_backend(self, small_model_state):
+        """Per-slice lane walk (fused off) shares every executable with the
+        host backend's walk: x_hat must match BIT-FOR-BIT."""
+        model, state = small_model_state
+        host = Codec(model, state.params, coder="host")
+        lane = Codec(model, state.params, coder="lane")
+        lane.fused = False
+        x = np.asarray(jax.random.uniform(jax.random.key(6), (2, 64, 64, 3)))
+
+        enc_h = host.compress(x)
+        enc_l = lane.compress(x)
+        assert enc_h["strings"][1] == enc_l["strings"][1]  # same z stream
+
+        dec_h = host.decompress(enc_h["strings"], enc_h["shape"])
+        dec_l = lane.decompress(enc_l["strings"], enc_l["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec_h["x_hat"]), np.asarray(dec_l["x_hat"])
+        )
+
+    def test_fused_decompress_matches_walk(self, small_model_state):
+        """The one-dispatch fused decoder must agree with the per-slice
+        walk: identical symbols by the hash guard, and an x_hat that only
+        differs by fusion-level float noise (if at all)."""
+        import warnings
+
+        model, state = small_model_state
+        lane = Codec(model, state.params, coder="lane")
+        x = np.asarray(jax.random.uniform(jax.random.key(10), (2, 64, 64, 3)))
+        enc = lane.compress(x)
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # a fallback warning = failure
+            dec_fused = lane.decompress(enc["strings"], enc["shape"])
+        lane.fused = False
+        dec_walk = lane.decompress(enc["strings"], enc["shape"])
+        np.testing.assert_allclose(
+            np.asarray(dec_fused["x_hat"], np.float32),
+            np.asarray(dec_walk["x_hat"], np.float32),
+            atol=1e-5, rtol=1e-5,
+        )
+
+    def test_fused_hash_mismatch_falls_back(self, small_model_state):
+        """Corrupting a stream hash must trigger the lockstep fallback (and
+        produce the exact per-slice result), not a silent wrong decode."""
+        model, state = small_model_state
+        lane = Codec(model, state.params, coder="lane")
+        x = np.asarray(jax.random.uniform(jax.random.key(11), (1, 64, 64, 3)))
+        enc = lane.compress(x)
+        y = bytearray(enc["strings"][0][0])
+        y[0] ^= 0xFF  # first segment's idx hash
+        bad = [[bytes(y)], enc["strings"][1]]
+
+        with pytest.warns(RuntimeWarning, match="falling back"):
+            dec_fb = lane.decompress(bad, enc["shape"])
+        lane.fused = False
+        dec_walk = lane.decompress(enc["strings"], enc["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec_fb["x_hat"]), np.asarray(dec_walk["x_hat"])
+        )
+
+    def test_lane_stream_is_deterministic(self, small_model_state):
+        model, state = small_model_state
+        lane = Codec(model, state.params, coder="lane")
+        x = np.asarray(jax.random.uniform(jax.random.key(7), (1, 64, 64, 3)))
+        a = lane.compress(x)
+        b = lane.compress(x)
+        assert a["strings"][0][0] == b["strings"][0][0]
+
+    def test_pipelined_lane_roundtrip(self, small_model_state):
+        """pipeline=2: segments land in (slice, sub-batch) order and the
+        decoder consumes them in the same order."""
+        model, state = small_model_state
+        lane1 = Codec(model, state.params, coder="lane", pipeline=1)
+        lane2 = Codec(model, state.params, coder="lane", pipeline=2)
+        x = np.asarray(jax.random.uniform(jax.random.key(8), (2, 64, 64, 3)))
+
+        enc = lane2.compress(x)
+        dec = lane2.decompress(enc["strings"], enc["shape"])
+        dec_b = lane2.decompress(enc["strings"], enc["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec["x_hat"]), np.asarray(dec_b["x_hat"])
+        )
+        # a pipeline=1 stream is NOT decodable by the pipeline=2 codec
+        enc1 = lane1.compress(x)
+        with pytest.raises(ValueError):
+            lane2.decompress(enc1["strings"], enc1["shape"])
+
+    def test_tbc_uneven_slices(self):
+        """TBC's last slice is narrower: per-segment symbol counts differ
+        and the kernel runs at two distinct shapes."""
+        model = TransformerBasedCoding(
+            channels=(8, 12, 16, 20, 8, 8),
+            depths=(1, 1, 1, 1), h_depths=(1, 1),
+            num_heads=4, h_num_heads=4,
+            window_size=4, h_window_size=4,
+            num_slices=3,  # 20 channels -> widths 7,7,6
+        )
+        variables = model.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)},
+            np.zeros((1, 64, 64, 3), np.float32),
+            training=False,
+        )
+        params = variables["params"]
+        host = Codec(model, params, coder="host")
+        lane = Codec(model, params, coder="lane")
+        x = np.asarray(jax.random.uniform(jax.random.key(9), (1, 64, 64, 3)))
+        enc = lane.compress(x)
+        dec_f = lane.decompress(enc["strings"], enc["shape"])  # fused
+        lane.fused = False
+        dec_l = lane.decompress(enc["strings"], enc["shape"])
+        enc_h = host.compress(x)
+        dec_h = host.decompress(enc_h["strings"], enc_h["shape"])
+        # per-slice lane walk shares executables with host: bit-exact
+        np.testing.assert_array_equal(
+            np.asarray(dec_h["x_hat"]), np.asarray(dec_l["x_hat"])
+        )
+        # fused program: same symbols (hash-guarded), fusion-level floats
+        np.testing.assert_allclose(
+            np.asarray(dec_f["x_hat"], np.float32),
+            np.asarray(dec_h["x_hat"], np.float32),
+            atol=1e-5, rtol=2e-2,
+        )

@@ -2,15 +2,16 @@
 
 Random CDFs (built by the same native pmf_to_quantized_cdf used in
 production), random symbols including out-of-range escapes; the host
-encoder's stream must decode exactly via both the NumPy reference decoder
-and the Pallas kernel (interpreter mode on CPU CI; the real-TPU path is
-exercised by tools/bench_device_decode.py)."""
+encoder's grouped stream must decode exactly via both the NumPy reference
+decoder and the Pallas kernel (interpreter mode on CPU CI; the real-TPU
+path is exercised by tools/bench_device_decode.py)."""
 
 import numpy as np
 import pytest
 
 from stf_tpu.ans import pmf_to_quantized_cdf_rows
 from stf_tpu.ans.lane_coder import (
+    GROUPS,
     K,
     LaneTables,
     lane_decode,
@@ -41,13 +42,16 @@ def random_symbols(rng, tables: LaneTables, n, escape_frac=0.05):
     return sym.astype(np.int32), idx
 
 
-@pytest.mark.parametrize("n", [1, 7, K, K + 3, 5 * K, 4096 + 17])
+@pytest.mark.parametrize(
+    "n", [1, 7, K, K + 3, GROUPS * K, 5 * GROUPS * K + 13, 4096 + 17]
+)
 def test_reference_roundtrip(n):
     rng = np.random.default_rng(n)
     tables = random_tables(rng)
     sym, idx = random_symbols(rng, tables, n)
-    words, states, side, n_out = lane_encode(sym, idx, tables)
-    dec = lane_decode_reference(words, states, side, idx, tables, n_out)
+    stream = lane_encode(sym, idx, tables)
+    assert stream.n == n
+    dec = lane_decode_reference(stream, idx, tables)
     np.testing.assert_array_equal(dec, sym)
 
 
@@ -55,9 +59,9 @@ def test_reference_roundtrip_no_escapes():
     rng = np.random.default_rng(0)
     tables = random_tables(rng)
     sym, idx = random_symbols(rng, tables, 2000, escape_frac=0.0)
-    words, states, side, n = lane_encode(sym, idx, tables)
-    assert side.size == 0
-    dec = lane_decode_reference(words, states, side, idx, tables, n)
+    stream = lane_encode(sym, idx, tables)
+    assert stream.side.size == 0
+    dec = lane_decode_reference(stream, idx, tables)
     np.testing.assert_array_equal(dec, sym)
 
 
@@ -72,20 +76,37 @@ def test_reference_roundtrip_skewed():
     cdf = pmf_to_quantized_cdf_rows(pmf, tail, lengths)
     tables = make_lane_tables(cdf, lengths + 2, np.array([0, -1], np.int32))
     sym, idx = random_symbols(rng, tables, 3000, escape_frac=0.02)
-    words, states, side, n = lane_encode(sym, idx, tables)
-    dec = lane_decode_reference(words, states, side, idx, tables, n)
+    stream = lane_encode(sym, idx, tables)
+    dec = lane_decode_reference(stream, idx, tables)
     np.testing.assert_array_equal(dec, sym)
 
 
-@pytest.mark.parametrize("n", [K, 5 * K + 9, 2048])
+@pytest.mark.parametrize("n", [1, K + 3, 5 * GROUPS * K + 13])
+def test_native_encoder_matches_numpy(n):
+    """The C++ encoder (stf_lane_encode) must be bit-exact with the NumPy
+    reference: identical words, states, side channel, and counts."""
+    from stf_tpu.ans.lane_coder import lane_encode_numpy
+
+    rng = np.random.default_rng(7000 + n)
+    tables = random_tables(rng)
+    sym, idx = random_symbols(rng, tables, n)
+    native = lane_encode(sym, idx, tables)
+    ref = lane_encode_numpy(sym, idx, tables)
+    np.testing.assert_array_equal(native.words, ref.words)
+    np.testing.assert_array_equal(native.word_counts, ref.word_counts)
+    np.testing.assert_array_equal(native.states, ref.states)
+    np.testing.assert_array_equal(native.side, ref.side)
+    np.testing.assert_array_equal(native.side_counts, ref.side_counts)
+    assert native.n == ref.n == n
+
+
+@pytest.mark.parametrize("n", [K, GROUPS * K, 5 * K + 9, 3 * GROUPS * K + 77])
 def test_pallas_kernel_matches(n):
     rng = np.random.default_rng(100 + n)
     tables = random_tables(rng)
     sym, idx = random_symbols(rng, tables, n)
-    words, states, side, n_out = lane_encode(sym, idx, tables)
-    dec = np.asarray(
-        lane_decode(words, states, side, idx, tables, n_out, interpret=True)
-    )
+    stream = lane_encode(sym, idx, tables)
+    dec = np.asarray(lane_decode(stream, idx, tables, interpret=True))
     np.testing.assert_array_equal(dec, sym)
 
 
@@ -94,10 +115,8 @@ def test_pallas_kernel_compression_ratio():
     rng = np.random.default_rng(3)
     tables = random_tables(rng, rows=4, max_pmf=8)
     sym, idx = random_symbols(rng, tables, 50_000, escape_frac=0.0)
-    words, states, side, n = lane_encode(sym, idx, tables)
-    bits = words.size * 16 + states.size * 32
-    assert bits / n < 4.0  # ~3 bits/sym alphabets
-    dec = np.asarray(
-        lane_decode(words, states, side, idx, tables, n, interpret=True)
-    )
+    stream = lane_encode(sym, idx, tables)
+    bits = stream.words.size * 16 + stream.states.size * 32
+    assert bits / stream.n < 4.0  # ~3 bits/sym alphabets
+    dec = np.asarray(lane_decode(stream, idx, tables, interpret=True))
     np.testing.assert_array_equal(dec, sym)

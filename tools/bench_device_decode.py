@@ -63,18 +63,18 @@ def main():
     esc_pos = rng.random(sym.size) < 0.001
     sym[esc_pos] = rng.integers(-1000, 1000, int(esc_pos.sum()))
 
-    words, states, side, n = lane_encode(sym, idx, tables)
+    stream = lane_encode(sym, idx, tables)
     print(
-        f"symbols: {n}  stream: {words.size * 2} B words + "
-        f"{side.size * 4} B side + {states.size * 4} B states",
+        f"symbols: {stream.n}  stream: {stream.words.size * 2} B words + "
+        f"{stream.side.size * 4} B side + {stream.states.size * 4} B states",
         file=sys.stderr,
     )
 
-    ref = lane_decode_reference(words, states, side, idx, tables, n)
+    ref = lane_decode_reference(stream, idx, tables)
     np.testing.assert_array_equal(ref, sym)
 
     # --- device decode (compile + 3 timed runs) ---
-    out = lane_decode(words, states, side, idx, tables, n)
+    out = lane_decode(stream, idx, tables)
     dev = np.asarray(out)
     np.testing.assert_array_equal(dev, sym)
     print("TPU decode matches", file=sys.stderr)
@@ -82,16 +82,17 @@ def main():
     times = []
     for _ in range(3):
         t0 = time.time()
-        out = lane_decode(words, states, side, idx, tables, n)
+        out = lane_decode(stream, idx, tables)
         host_visible = np.asarray(out[:8])  # force completion host-side
         times.append(time.time() - t0)
     del host_visible
 
-    stream_bytes = words.size * 2 + side.size * 4 + states.size * 4
+    stream_bytes = (stream.words.size * 2 + stream.side.size * 4
+                    + stream.states.size * 4)
     # host path per z decode: indexes uint8 D2H? (z indexes are static ->
     # the host already knows them; charge 0) + decoded symbols H2D as int32
     # for z_hat — and critically one full link round trip of latency.
-    host_h2d = n * 4
+    host_h2d = stream.n * 4
     print(
         f"lane decode (incl. upload + dispatch): best "
         f"{min(times):.4f}s of {['%.4f' % t for t in times]}",
