@@ -241,11 +241,15 @@ class Codec:
         if self.coder == "lane":
             from ..ans import lane_coder as lc
 
-            # device tables with each row's symbol window clamped to ±127
-            # (the same window the int8 symbol-transfer path assumes);
-            # out-of-window values ride the raw side channel
+            # device tables with each row's symbol window clamped to ±62:
+            # W = 2*62+3 = 127 columns pads to exactly ONE 128-lane vector
+            # register, so the kernel's per-row (K, W) table scans cost one
+            # vreg op instead of three (±127 -> W=257 -> 3 vregs).
+            # Out-of-window values ride the raw side channel; at trained
+            # operating points |q| > 62 is rare enough that the side bytes
+            # are noise next to the scan savings.
             self.lane_tables = lc.truncate_tables(
-                *self.gc_coder.tables.astuple()
+                *self.gc_coder.tables.astuple(), max_half=62
             )
             self._lane_dev_tables = lc.device_tables(self.lane_tables)
             self._lane_rv_cache: Dict = {}
