@@ -597,6 +597,335 @@ def lane_decode_device(idx_dev, words_dev, side_dev, states_dev,
     return out[:n]
 
 
+# -- device encoder -----------------------------------------------------------
+#
+# Mirror of the decode kernel: symbols and indexes STAY ON DEVICE (they are
+# produced there by the codec walk) and only the compressed stream crosses
+# device->host — the (q8, idx) drain (~2 B/symbol) becomes ~bpp/8 B/symbol.
+#
+# Grid = 2 passes over the row chunks:
+#   * phase A (forward): escape compaction — out-of-window symbols are
+#     scattered to the per-group side channel at an ascending cursor, in
+#     exactly the (row, lane-asc) order the host encoder and the decoder
+#     use.
+#   * phase B (backward): the interleaved rANS emission. Rows run in
+#     reverse; each row's renormalization words land at a descending
+#     per-group cursor, lane-ascending within the row, which reproduces
+#     the host encoder's stream byte-for-byte.
+# Scatter writes use the same gather-free discipline as the decoder's
+# `pick`: a 2-row window at a scalar-dynamic row offset, one-hot position
+# matmuls, read-modify-write.
+#
+# rANS state update needs an integer division the decode path avoids:
+# q = state // freq with state < freq * 2^16 (the renorm invariant), so
+# q < 2^16 and a float32 quotient is within +/-1 of exact — one exact
+# uint32 fix-up step recovers it (all candidate products stay below 2^32).
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_kernel(tg: int, wcap_rows: int, scap_rows: int,
+                   R: int, W: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = GROUPS
+    n_chunks = (tg + CHUNK_T - 1) // CHUNK_T
+    wcap = tg * K  # emissions per group can't exceed one word per symbol
+
+    def kernel(sym_ref, idx_ref, cdf_ref, lens_ref, offs_ref,
+               words_ref, side_ref, states_ref, counts_ref,
+               wcur_ref, scur_ref, ovf_ref, st_ref):
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (K, W), 1)
+        tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+            < jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+        ).astype(jnp.float32)
+        hp = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        col128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        pid = pl.program_id(0)
+
+        @pl.when(pid == 0)
+        def _init_a():
+            for g in range(G):
+                scur_ref[g] = 0
+                ovf_ref[g] = 0
+
+        @pl.when(pid == n_chunks)
+        def _init_b():
+            st_ref[:] = jnp.full((G, K), RANS_L, jnp.uint32)
+            for g in range(G):
+                wcur_ref[g] = wcap
+
+        c = jnp.minimum(pid, 2 * n_chunks - 1 - pid)
+        t0 = c * CHUNK_T
+
+        def put(stream_ref, g_row0, pos, mask_k1, vals_k1, arow):
+            """Scatter vals at positions `pos` (all within [arow*128,
+            arow*128 + 256) for masked lanes) into a 2-row window.
+            mask_k1: (K, 1) int32 0/1 (Mosaic can't reshape i1 vectors)."""
+            o = pos - (arow << 7)  # (K, 1)
+            win = stream_ref[pl.ds(g_row0 + arow, 2), :]  # (2, K) i32
+            mk = mask_k1 != 0
+            p0 = ((o == lane_i) & mk).astype(jnp.float32)
+            p1 = ((o - K == lane_i) & mk).astype(jnp.float32)
+            vf = vals_k1.astype(jnp.float32).reshape(1, K)
+            mf = mask_k1.astype(jnp.float32).reshape(1, K)
+            c0 = jnp.dot(vf, p0, **hp)
+            t0_ = jnp.dot(mf, p0, **hp)
+            c1 = jnp.dot(vf, p1, **hp)
+            t1_ = jnp.dot(mf, p1, **hp)
+            new0 = jnp.where(t0_ > 0.5, c0.astype(jnp.int32), win[0:1, :])
+            new1 = jnp.where(t1_ > 0.5, c1.astype(jnp.int32), win[1:2, :])
+            stream_ref[pl.ds(g_row0 + arow, 2), :] = jnp.concatenate(
+                [new0, new1], 0
+            )
+
+        def row_meta(g, t):
+            idx = idx_ref[t * G + g, :].reshape(K, 1)
+            sym = sym_ref[t * G + g, :].reshape(K, 1)
+            onehot = (idx == row_i).astype(jnp.float32)  # (K, R)
+            rlen = jnp.dot(onehot, lens_ref[:], **hp)  # (K, 1)
+            roff = jnp.dot(onehot, offs_ref[:], **hp)  # (K, 1)
+            s = sym.astype(jnp.float32) - roff  # exact: |sym| < 2^24
+            esc = (s < 0.0) | (s >= rlen - 2.0)
+            return idx, sym, onehot, rlen, roff, s, esc
+
+        def row_side(g, t):
+            """Phase A: forward escape compaction into the side channel."""
+            _, sym, _, _, _, _, esc = row_meta(g, t)
+            ef = esc.astype(jnp.float32).reshape(1, K)
+            n_esc = jnp.sum(ef).astype(jnp.int32)
+            rank = jnp.dot(ef, tri, **hp).astype(jnp.int32).reshape(K, 1)
+            base = scur_ref[g]
+
+            @pl.when(base <= (scap_rows - 2) * K)
+            def _write():
+                put(side_ref, g * scap_rows, base + rank,
+                    esc.astype(jnp.int32), sym, base >> 7)
+
+            @pl.when(base + n_esc > (scap_rows - 2) * K)
+            def _flag():
+                ovf_ref[g] = 1
+
+            scur_ref[g] = base + n_esc
+
+        def row_words(g, t):
+            """Phase B: one reverse rANS step for all K lanes."""
+            _, sym, onehot, rlen, roff, s, esc = row_meta(g, t)
+            rows = jnp.dot(onehot, cdf_ref[:], **hp)  # (K, W)
+            s_eff = jnp.where(esc, rlen - 2.0, s).astype(jnp.int32)
+            cum = jnp.sum(
+                jnp.where(col_i == s_eff, rows, 0.0), axis=1, keepdims=True
+            )
+            nxt = jnp.sum(
+                jnp.where(col_i == s_eff + 1, rows, 0.0),
+                axis=1, keepdims=True,
+            )
+            freq = (
+                (nxt - cum).astype(jnp.int32).astype(jnp.uint32)
+            ).reshape(1, K)
+            cum_u = cum.astype(jnp.int32).astype(jnp.uint32).reshape(1, K)
+
+            state = st_ref[g : g + 1, :]  # (1, K) uint32
+            m = state >= (freq << PRECISION)
+            mf = m.astype(jnp.float32)
+            n_emit = jnp.sum(mf).astype(jnp.int32)
+            rank = jnp.dot(mf, tri, **hp).astype(jnp.int32).reshape(K, 1)
+            low16 = (state & 0xFFFF).astype(jnp.int32).reshape(K, 1)
+            base = wcur_ref[g]
+            pos = (base - n_emit) + rank  # lane-asc within the row
+            arow = jnp.maximum(base - K, 0) >> 7
+            mi = m.astype(jnp.int32).reshape(K, 1)
+            put(words_ref, g * wcap_rows, pos, mi, low16, arow)
+            wcur_ref[g] = base - n_emit
+            state = jnp.where(m, state >> PRECISION, state)
+
+            # q = state // freq: f32 quotient +/-1, exact uint32 fix-up
+            sf = (
+                (state >> 16).astype(jnp.int32).astype(jnp.float32) * 65536.0
+                + (state & 0xFFFF).astype(jnp.int32).astype(jnp.float32)
+            )
+            ff = freq.astype(jnp.int32).astype(jnp.float32)
+            q = jnp.floor(sf / ff).astype(jnp.int32).astype(jnp.uint32)
+            prod = q * freq
+            q = jnp.where(prod > state, q - 1, q)
+            prod = q * freq
+            q = jnp.where(prod + freq <= state, q + 1, q)
+            r = state - q * freq
+            st_ref[g : g + 1, :] = (q << PRECISION) + cum_u + r
+
+        def step(j, _):
+            # row fns index the CHUNK-LOCAL block row; guards use the
+            # global row t0 + local
+            @pl.when((pid < n_chunks) & (t0 + j < tg))
+            def _fwd():
+                for g in range(G):
+                    row_side(g, j)
+
+            jb = CHUNK_T - 1 - j
+
+            @pl.when((pid >= n_chunks) & (t0 + jb < tg))
+            def _bwd():
+                for g in range(G):
+                    row_words(g, jb)
+
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK_T, step, 0)
+
+        @pl.when(pid == 2 * n_chunks - 1)
+        def _fin():
+            states_ref[:] = st_ref[:]
+            for g in range(G):
+                wc = wcap - wcur_ref[g]
+                row = jnp.where(
+                    col128 == 0, wc,
+                    jnp.where(col128 == 1, scur_ref[g],
+                              jnp.where(col128 == 2, ovf_ref[g], 0)),
+                )
+                counts_ref[g, :] = row.reshape(128).astype(jnp.int32)
+
+    blk = lambda i: (jnp.minimum(i, 2 * n_chunks - 1 - i), 0)  # noqa: E731
+    fn = pl.pallas_call(
+        kernel,
+        grid=(2 * n_chunks,),
+        in_specs=[
+            pl.BlockSpec((CHUNK_T * G, K), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_T * G, K), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G * wcap_rows, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * scap_rows, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G * wcap_rows, K), jnp.int32),
+            jax.ShapeDtypeStruct((G * scap_rows, K), jnp.int32),
+            jax.ShapeDtypeStruct((G, K), jnp.uint32),
+            jax.ShapeDtypeStruct((G, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((GROUPS,), jnp.int32),     # word cursors
+            pltpu.SMEM((GROUPS,), jnp.int32),     # side cursors
+            pltpu.SMEM((GROUPS,), jnp.int32),     # side overflow flags
+            pltpu.VMEM((GROUPS, K), jnp.uint32),  # lane states
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def encode_caps(n: int):
+    """(tg, wcap_rows, scap_rows) for an n-symbol segment. wcap_rows has
+    one pad row so the 2-row scatter window at a full cursor stays inside
+    the group's region; scap_rows bounds the side channel at ~1/8 escape
+    rate (overflow -> counts flag -> caller falls back to the host
+    encoder)."""
+    rows = (n + K - 1) // K
+    tg = max((rows + GROUPS - 1) // GROUPS, 1)
+    return tg, tg + 1, max(tg // 8, 2) + 4
+
+
+def lane_encode_device(sym_dev, idx_dev, cdf_dev, lens_dev, offs_dev,
+                       n: int, pad_sym: int, interpret: bool = False):
+    """Encode an n-symbol segment ON DEVICE (jit-friendly). sym/idx: any
+    shape, flattened C-order. Returns (words (G*wcap_rows, K) i32 — one
+    uint16 word per cell, each group's words backward-filled so its last
+    `word_counts[g]` cells are the stream; side (G*scap_rows, K) i32,
+    forward-filled; states (G, K) u32; counts (G, 128) i32 with per-group
+    [word_count, side_count, side_overflow] in columns 0..2). `pad_sym`
+    must be the host tables' offsets[0] so padding encodes exactly like
+    the host encoder's."""
+    import jax.numpy as jnp
+
+    tg, wcap_rows, scap_rows = encode_caps(n)
+    total = GROUPS * tg * K
+
+    def prep(a, fill):
+        a = a.reshape(-1).astype(jnp.int32)
+        a = jnp.pad(a, (0, total - n), constant_values=fill)
+        a = jnp.transpose(
+            a.reshape(GROUPS, tg, K), (1, 0, 2)
+        ).reshape(tg * GROUPS, K)
+        n_chunks = (tg + CHUNK_T - 1) // CHUNK_T
+        return jnp.pad(
+            a, ((0, (n_chunks * CHUNK_T - tg) * GROUPS), (0, 0))
+        )
+
+    fn = _encode_kernel(
+        tg, wcap_rows, scap_rows,
+        cdf_dev.shape[0], cdf_dev.shape[1], interpret,
+    )
+    return fn(prep(sym_dev, pad_sym), prep(idx_dev, 0),
+              cdf_dev, lens_dev, offs_dev)
+
+
+def assemble_device_stream(words_np, side_np, states_np, counts_np,
+                           n: int) -> LaneStream:
+    """Host-side: kernel outputs (as numpy) -> a LaneStream identical to
+    lane_encode's."""
+    tg, wcap_rows, scap_rows = encode_caps(n)
+    words, side = [], []
+    for g in range(GROUPS):
+        wc = int(counts_np[g, 0])
+        sc = int(counts_np[g, 1])
+        wflat = words_np[g * wcap_rows: g * wcap_rows + tg].reshape(-1)
+        words.append(wflat[tg * K - wc:].astype(np.uint16))
+        sflat = side_np[g * scap_rows: (g + 1) * scap_rows].reshape(-1)
+        side.append(sflat[:sc].astype(np.int32))
+    return LaneStream(
+        np.concatenate(words),
+        np.asarray([w.size for w in words], np.int64),
+        np.ascontiguousarray(states_np.astype(np.uint32)),
+        np.concatenate(side) if side else np.empty(0, np.int32),
+        np.asarray([s.size for s in side], np.int64),
+        n,
+    )
+
+
+def assemble_from_tails(words_tail, side_tail, states_np, counts_np,
+                        n: int) -> LaneStream:
+    """Like assemble_device_stream but from BUCKETED tail slices: the
+    caller transferred only the last `wb` word rows (per group, ending at
+    row tg) and the first `sb` side rows. words_tail: (G, wb, K) i32;
+    side_tail: (G, sb, K) i32."""
+    words, side = [], []
+    wb = words_tail.shape[1]
+    for g in range(GROUPS):
+        wc = int(counts_np[g, 0])
+        sc = int(counts_np[g, 1])
+        wflat = words_tail[g].reshape(-1)
+        words.append(wflat[wb * K - wc:].astype(np.uint16))
+        side.append(side_tail[g].reshape(-1)[:sc].astype(np.int32))
+    return LaneStream(
+        np.concatenate(words),
+        np.asarray([w.size for w in words], np.int64),
+        np.ascontiguousarray(states_np.astype(np.uint32)),
+        np.concatenate(side) if side else np.empty(0, np.int32),
+        np.asarray([s.size for s in side], np.int64),
+        n,
+    )
+
+
 def lane_decode(stream: LaneStream, indexes, tables: LaneTables,
                 interpret: bool = False):
     """Device decoder from a host-side LaneStream (uploads the banks, then

@@ -88,6 +88,7 @@ class Codec:
         pipeline: int = 1,
         dtype=None,
         coder: str = "host",
+        device_encode: bool = False,
     ):
         """`coder` picks the y-latent entropy backend:
           * "host" — reference-contract rANS on the CPU (default); indexes
@@ -105,6 +106,18 @@ class Codec:
         if coder not in ("host", "lane"):
             raise ValueError(f"unknown entropy coder {coder!r}")
         self.coder = coder
+        # device_encode=True runs the per-slice ENCODER on device too
+        # (Pallas reverse-rANS kernel fused into the quantize program):
+        # symbols and indexes never cross to the host, only the compressed
+        # stream does (~bpp/8 bytes/symbol instead of the 2 B/symbol
+        # q8+idx drain). Bit-exact with the host lane encoder (tests);
+        # per-segment side-channel overflow falls back to the host encoder
+        # transparently. DEFAULT OFF: the drain is async DMA that overlaps
+        # the walk, while the kernel adds ~0.05 s/slice of *serial* device
+        # compute — measured 2.61 s vs 1.90 s encode on the bench batch
+        # (PERF.md). Turn on to offload entropy coding from host CPUs
+        # (serving farms) or when the host link is the bottleneck.
+        self.device_encode = bool(device_encode)
         # lane decompress runs the ENTIRE walk (hyper -> S slices x decode
         # kernel -> synthesis) as ONE jitted program — one dispatch instead
         # of ~2 per slice. Correctness: the fused program is a different
@@ -254,7 +267,55 @@ class Codec:
             self._lane_dev_tables = lc.device_tables(self.lane_tables)
             self._lane_rv_cache: Dict = {}
             self._lane_fused_cache: Dict = {}
+
+            self._dev_encode = self.device_encode
+            pad_sym = int(self.lane_tables.offsets[0])
+            interpret = jax.default_backend() != "tpu"
+
+            def quantize_encode(y_slice, mu, idx, cdf, lens, offs):
+                # identical quantization ops to self._quantize (the AR
+                # chain consumes q32 either way)
+                q32 = jnp.round(y_slice - mu).astype(jnp.int32)
+                h = _idx_hash_dev(idx)
+                n = int(np.prod(y_slice.shape))
+                from ..ans import lane_coder as _lc
+
+                words, side, states, counts = _lc.lane_encode_device(
+                    q32, idx, cdf, lens, offs, n, pad_sym,
+                    interpret=interpret,
+                )
+                return q32, words, side, states, counts, h
+
+            self._quantize_encode = jax.jit(quantize_encode)
+            self._stack_fn = jax.jit(
+                lambda cs, hs: (jnp.stack(cs), jnp.stack(hs))
+            )
+            self._gather_cache: Dict = {}
         return True
+
+    def _gather_fn(self, tg, wcap_rows, scap_rows, wb, sb, count):
+        """Jitted bucketed tail-gather: `count` segments' resident kernel
+        outputs -> stacked (count, G, wb/sb, K) arrays ready to transfer
+        (only ~stream-sized bytes instead of the full capacity banks)."""
+        from ..ans.lane_coder import GROUPS
+
+        key = (tg, wcap_rows, scap_rows, wb, sb, count)
+        fn = self._gather_cache.get(key)
+        if fn is None:
+            def gather(words_list, side_list, states_list):
+                w = jnp.stack([
+                    wr.reshape(GROUPS, wcap_rows, -1)[:, tg - wb: tg, :]
+                    for wr in words_list
+                ])
+                s = jnp.stack([
+                    sr.reshape(GROUPS, scap_rows, -1)[:, :sb, :]
+                    for sr in side_list
+                ])
+                return w, s, jnp.stack(states_list)
+
+            fn = jax.jit(gather)
+            self._gather_cache[key] = fn
+        return fn
 
     def _fused_decode_fn(self, subs, y_shape, wr, sr, ns):
         """Build (or fetch) the one-dispatch lane decompress program: z_hat
@@ -399,6 +460,114 @@ class Codec:
         return fn(idx, words_dev, side_dev, states_dev,
                   *self._lane_dev_tables)
 
+    def _build_lane_stream(self, pending) -> bytes:
+        """Assemble the lane y-stream from the walk's pending entries.
+
+        "dev" entries hold resident kernel outputs: one stacked counts
+        fetch (the only sync), then a bucketed tail-gather per segment
+        geometry so only ~stream-sized bytes cross device->host. A
+        side-channel-overflow flag (or a "host" entry) re-encodes that
+        segment with the native host encoder from the same symbols — the
+        two encoders are bit-exact, so mixing is invisible to decoders.
+        """
+        from ..ans import lane_coder as lc
+
+        keys = sorted(pending)
+        dev_keys = [key for key in keys if pending[key][0] == "dev"]
+        counts_np: Dict = {}
+        hash_np: Dict = {}
+        if dev_keys:
+            counts_st, hashes_st = self._stack_fn(
+                [pending[key][6] for key in dev_keys],
+                [pending[key][7] for key in dev_keys],
+            )
+            counts_all = np.asarray(counts_st)
+            hash_all = np.asarray(hashes_st)
+            for j, key in enumerate(dev_keys):
+                counts_np[key] = counts_all[j]
+                hash_np[key] = int(hash_all[j])
+
+        # bucketed tail-gather, grouped by segment geometry
+        ok_keys = [
+            key for key in dev_keys if not counts_np[key][:, 2].any()
+        ]
+        groups: Dict = {}
+        for key in ok_keys:
+            n = int(np.prod(pending[key][1].shape))
+            groups.setdefault(lc.encode_caps(n), []).append(key)
+        tails: Dict = {}
+        for (tg, wcap_rows, scap_rows), gkeys in groups.items():
+            wb = min(
+                _bucket(
+                    max(
+                        int(-(-counts_np[key][:, 0].max() // lc.K))
+                        for key in gkeys
+                    ) + 1
+                ),
+                tg,
+            )
+            sb = min(
+                _bucket(
+                    max(
+                        int(-(-counts_np[key][:, 1].max() // lc.K))
+                        for key in gkeys
+                    ) + 1
+                ),
+                scap_rows,
+            )
+            fn = self._gather_fn(
+                tg, wcap_rows, scap_rows, wb, sb, len(gkeys)
+            )
+            w_st, s_st, st_st = fn(
+                [pending[key][3] for key in gkeys],
+                [pending[key][4] for key in gkeys],
+                [pending[key][5] for key in gkeys],
+            )
+            for a in (w_st, s_st, st_st):
+                self._start_transfer(a)
+            tails.update({
+                key: (w_st, s_st, st_st, j)
+                for j, key in enumerate(gkeys)
+            })
+        tail_np: Dict = {}
+
+        segments, hashes = [], []
+        for key in keys:
+            ent = pending[key]
+            if ent[0] == "dev" and key in tails:
+                w_st, s_st, st_st, j = tails[key]
+                if id(w_st) not in tail_np:
+                    tail_np[id(w_st)] = (
+                        np.asarray(w_st), np.asarray(s_st),
+                        np.asarray(st_st),
+                    )
+                w_np, s_np, st_np = tail_np[id(w_st)]
+                n = int(np.prod(ent[1].shape))
+                segments.append(lc.assemble_from_tails(
+                    w_np[j], s_np[j], st_np[j], counts_np[key], n
+                ))
+                hashes.append(hash_np[key])
+                continue
+            # host fallback: overflow-flagged dev segment or host entry
+            if ent[0] == "dev":
+                q_np = np.asarray(ent[1])
+                idx_np = np.asarray(ent[2])
+                hashes.append(hash_np[key])
+            else:
+                _, q32, q8, overflow, idx = ent
+                q_np = np.asarray(q32 if bool(overflow) else q8)
+                idx_np = np.asarray(idx)
+                hashes.append(_idx_hash_host(idx_np))
+            segments.append(lc.lane_encode(
+                q_np.reshape(-1).astype(np.int32),
+                idx_np.reshape(-1),
+                self.lane_tables,
+            ))
+        return (
+            np.asarray(hashes, "<u4").tobytes()
+            + lc.pack_lane_stream(segments)
+        )
+
     # -- shared per-slice walk ------------------------------------------------
 
     def _walk_slices(self, latent_means, latent_scales, get_symbols):
@@ -466,51 +635,47 @@ class Codec:
         latent_means, latent_scales = self._hyper(self.params, z_hat, y_shape)
         bounds = self.model.slice_boundaries(y.shape[-1])
 
-        pending = {}  # (slice, sub) -> (q32, q8, overflow, idx)
+        pending = {}  # (slice, sub) -> ("dev" | "host", ...)
+        dev = self.coder == "lane" and self._dev_encode
 
-        # Per-sub-batch walks: all device work enqueues asynchronously, and
-        # the (q, idx) transfers for rANS start async during the walks —
-        # the critical path never stalls on device->host traffic.
+        # Per-sub-batch walks: all device work enqueues asynchronously.
+        # Device-encode path: quantize + reverse-rANS kernel fuse into one
+        # per-slice program and nothing drains to the host during the
+        # walk. Host path: the (q, idx) transfers start async during the
+        # walks so the critical path never stalls on device->host traffic.
         for k, (lo, hi) in enumerate(self._sub_batches(y.shape[0])):
             lm, ls = latent_means[lo:hi], latent_scales[lo:hi]
             y_slices = jnp.split(y[lo:hi], bounds, axis=-1)
 
             def get_symbols(i, mu, idx, k=k, y_slices=y_slices):
+                # VMEM guard: the encode kernel keeps the word banks
+                # resident (4 B/symbol), so huge slices use the host path
+                if dev and int(np.prod(y_slices[i].shape)) <= 2_000_000:
+                    q32, words, side, states, counts, h = (
+                        self._quantize_encode(
+                            y_slices[i], mu, idx, *self._lane_dev_tables
+                        )
+                    )
+                    pending[(i, k)] = (
+                        "dev", q32, idx, words, side, states, counts, h
+                    )
+                    return q32
                 q32, q8, overflow = self._quantize(y_slices[i], mu)
                 self._start_transfer(q8)
                 self._start_transfer(idx)
-                pending[(i, k)] = (q32, q8, overflow, idx)
+                pending[(i, k)] = ("host", q32, q8, overflow, idx)
                 return q32
 
             self._walk_slices(lm, ls, get_symbols)
 
         # (slice, sub-batch) order — must match the decoder's read order
         if self.coder == "lane":
-            from ..ans import lane_coder as lc
-
-            segments, hashes = [], []
-            for key in sorted(pending):
-                q32, q8, overflow, idx = pending[key]
-                q = q32 if bool(overflow) else q8
-                idx_np = np.asarray(idx)
-                # hash of the idx array the stream was encoded under: the
-                # fused decoder proves it derived the same indexes (else it
-                # falls back to the lockstep per-slice walk)
-                hashes.append(_idx_hash_host(idx_np))
-                segments.append(lc.lane_encode(
-                    np.asarray(q).reshape(-1),
-                    idx_np.reshape(-1),
-                    self.lane_tables,
-                ))
-            y_string = (
-                np.asarray(hashes, "<u4").tobytes()
-                + lc.pack_lane_stream(segments)
-            )
+            y_string = self._build_lane_stream(pending)
         else:
             cdf, lengths, offsets = self.gc_coder.tables.astuple()
             encoder = BufferedRansEncoder()
             for key in sorted(pending):
-                q32, q8, overflow, idx = pending[key]
+                _, q32, q8, overflow, idx = pending[key]
                 q = q32 if bool(overflow) else q8
                 encoder.encode_with_indexes(
                     np.asarray(q).reshape(-1),

@@ -98,7 +98,65 @@ def test_stream_framing_roundtrip():
         )
 
 
+def test_device_encoder_matches_host_encoder():
+    """The Pallas reverse-rANS encode kernel must produce byte-identical
+    streams to the host lane encoder, including escapes and padding."""
+    import jax.numpy as jnp
+
+    from stf_tpu.ans.lane_coder import (
+        assemble_device_stream,
+        device_tables,
+        lane_encode_device,
+    )
+
+    rng = np.random.default_rng(21)
+    scales = np.exp(np.linspace(np.log(0.2), np.log(8.0), 9)).astype(
+        np.float32
+    )
+    tables = truncate_tables(*build_gc_tables(scales).astuple(), max_half=62)
+    dev = device_tables(tables)
+    for n in (1, 130, 3 * 8 * 128 + 77):
+        idx = rng.integers(0, scales.size, n).astype(np.int32)
+        sym = rng.normal(0, 2.0, n).round().astype(np.int32)
+        sym[: max(1, n // 40)] = rng.integers(100, 2000, max(1, n // 40))
+        ref = lane_encode(sym, idx, tables)
+        out = lane_encode_device(
+            jnp.asarray(sym), jnp.asarray(idx), *dev,
+            n=n, pad_sym=int(tables.offsets[0]), interpret=True,
+        )
+        words_np, side_np, states_np, counts_np = map(np.asarray, out)
+        assert not counts_np[:, 2].any()
+        got = assemble_device_stream(
+            words_np, side_np, states_np, counts_np, n
+        )
+        np.testing.assert_array_equal(got.words, ref.words)
+        np.testing.assert_array_equal(got.word_counts, ref.word_counts)
+        np.testing.assert_array_equal(got.states, ref.states)
+        np.testing.assert_array_equal(got.side, ref.side)
+        np.testing.assert_array_equal(got.side_counts, ref.side_counts)
+
+
 class TestLaneCodec:
+    def test_device_encode_stream_identical(self, small_model_state):
+        """Codec with device_encode=True must emit the exact bytes the
+        host-encoder lane codec emits, and they must cross-decode."""
+        model, state = small_model_state
+        lane_h = Codec(
+            model, state.params, coder="lane", device_encode=False
+        )
+        lane_d = Codec(
+            model, state.params, coder="lane", device_encode=True
+        )
+        x = np.asarray(jax.random.uniform(jax.random.key(12), (2, 64, 64, 3)))
+        enc_h = lane_h.compress(x)
+        enc_d = lane_d.compress(x)
+        assert enc_h["strings"][0][0] == enc_d["strings"][0][0]
+        dec = lane_h.decompress(enc_d["strings"], enc_d["shape"])
+        dec_d = lane_d.decompress(enc_h["strings"], enc_h["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec["x_hat"]), np.asarray(dec_d["x_hat"])
+        )
+
     def test_roundtrip_matches_host_backend(self, small_model_state):
         """Per-slice lane walk (fused off) shares every executable with the
         host backend's walk: x_hat must match BIT-FOR-BIT."""
