@@ -24,9 +24,13 @@ import time
 
 import numpy as np
 
-REFERENCE_SEC_PER_IMG = 0.12 + 0.12  # CNN enc + dec, README.md:85
+# reference enc+dec s/img on Kodak (README.md:85-86); model picked by
+# STF_BENCH_MODEL (cnn default — the driver-tracked metric; stf measures
+# the Swin flagship against its own baseline)
+REFERENCE_SEC_PER_IMG = {"cnn": 0.12 + 0.12, "stf": 0.15 + 0.15}
+MODEL = os.environ.get("STF_BENCH_MODEL", "cnn")
 CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                    ".bench_ckpt.msgpack")
+                    f".bench_ckpt_{MODEL}.msgpack")
 TRAIN_STEPS = 300
 
 
@@ -90,14 +94,17 @@ def trained_state(model):
 def main():
     import jax
 
-    from stf_tpu.models import Codec, WACNN
+    from stf_tpu.models import Codec
     from stf_tpu.utils.cache import enable_compile_cache
+    from stf_tpu.zoo import models
 
     enable_compile_cache()
 
     import jax.numpy as jnp
 
-    model = WACNN()  # full-size flagship: N=192, M=320, 10 slices
+    # full-size flagships: cnn = WACNN (N=192, M=320, 10 slices),
+    # stf = SymmetricalTransFormer (embed 48, 12 slices)
+    model = models[MODEL]()
     state = trained_state(model)
     # bf16 transforms (MXU-native; entropy bottleneck stays f32). RD impact
     # is guard-tested: <0.5% entropy-estimation bpp delta, -0.04 dB on the
@@ -151,11 +158,11 @@ def main():
         elapsed = min(elapsed, total)
 
     images_per_sec = n_images / elapsed
-    baseline_ips = 1.0 / REFERENCE_SEC_PER_IMG
+    baseline_ips = 1.0 / REFERENCE_SEC_PER_IMG[MODEL]
     print(
         json.dumps(
             {
-                "metric": "kodak_enc_dec_throughput_cnn",
+                "metric": f"kodak_enc_dec_throughput_{MODEL}",
                 "value": round(images_per_sec, 4),
                 "unit": "images/sec",
                 "vs_baseline": round(images_per_sec / baseline_ips, 4),

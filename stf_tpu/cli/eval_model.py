@@ -158,6 +158,7 @@ def eval_model(
     verbose=False,
     half=False,
     batch_size=1,
+    backend="host",
 ):
     if half:
         params = jax.tree_util.tree_map(
@@ -168,7 +169,9 @@ def eval_model(
         )
     metrics = collections.defaultdict(float)
     counts = collections.defaultdict(int)
-    codec = None if entropy_estimation else Codec(model, params)
+    codec = (
+        None if entropy_estimation else Codec(model, params, coder=backend)
+    )
     apply_jit = (
         jax.jit(
             lambda p, x: model.apply({"params": p}, x, training=False)
@@ -250,6 +253,15 @@ def setup_args():
         "the reference's fp16 option)",
     )
     p.add_argument(
+        "--backend",
+        choices=("host", "lane"),
+        default="host",
+        help="y-latent entropy backend: 'host' = reference-contract CPU "
+        "rANS; 'lane' = TPU-resident interleaved rANS with one-dispatch "
+        "fused decompress (fastest on TPU; framework-defined stream "
+        "layout)",
+    )
+    p.add_argument(
         "--profile-dir",
         type=str,
         default=None,
@@ -295,6 +307,7 @@ def main(argv=None):
                 args.verbose,
                 half=args.half,
                 batch_size=args.batch_size,
+                backend=args.backend,
             )
             for k, v in metrics.items():
                 results[k].append(v)

@@ -125,6 +125,42 @@ def test_eval_cli_entropy_estimation(tiny_dataset, tiny_registry, tmp_path, caps
     assert result["results"]["bpp"][0] > 0
 
 
+def test_eval_cli_lane_backend(tiny_dataset, tiny_registry, tmp_path, capsys):
+    """--backend lane runs the TPU-resident entropy path (interpreted on
+    CPU) through the real CLI and must agree with the host backend's
+    metrics (same symbols; reconstructions differ only by fusion-level
+    float noise)."""
+    import jax
+
+    from stf_tpu.cli.eval_model import main as eval_main
+    from stf_tpu.training import create_train_state
+    from stf_tpu.zoo import models, save_checkpoint
+
+    model = models[tiny_registry]()
+    state = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+    )
+    ckpt = str(tmp_path / "ml.msgpack")
+    save_checkpoint(ckpt, tiny_registry, state.params)
+
+    results = {}
+    for backend in ("host", "lane"):
+        eval_main(
+            [
+                "-d", os.path.join(tiny_dataset, "test"),
+                "-a", tiny_registry,
+                "-p", ckpt,
+                "-r", str(tmp_path / f"recon_{backend}"),
+                "--backend", backend,
+            ]
+        )
+        results[backend] = json.loads(capsys.readouterr().out)["results"]
+    assert results["lane"]["bpp"][0] > 0
+    np.testing.assert_allclose(
+        results["lane"]["psnr"][0], results["host"]["psnr"][0], rtol=1e-4
+    )
+
+
 def test_eval_cli_batched(tiny_dataset, tiny_registry, tmp_path, capsys):
     """--batch-size groups same-shape images through one codec walk."""
     import jax
