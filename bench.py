@@ -124,6 +124,10 @@ def main():
     )
 
     n_images = 24  # Kodak size
+    # stf's Swin analyze at batch 24 x 512x768 exceeds the 16 GB HBM
+    # (measured: 16.24G needed); run it as 2 sub-batches of 12
+    n_chunks = {"cnn": 1, "stf": 2}[MODEL]
+    step = n_images // n_chunks
     # Throughput mode (SURVEY.md §7 build-plan #10): the channel-AR slice
     # walk is batched across all images, so the per-slice program dispatches
     # and host<->device transfers are paid once per *batch*, not per image.
@@ -131,12 +135,14 @@ def main():
         np.uint8
     )
 
+    chunks = [batch[i * step: (i + 1) * step] for i in range(n_chunks)]
+
     # warm-up: compile every program in the enc+dec path
-    out = codec.compress(batch)
+    out = codec.compress(chunks[0])
     codec.decompress(out["strings"], out["shape"])
     print(
         f"y stream: {len(out['strings'][0][0]) / 1e6:.2f} MB "
-        f"({len(out['strings'][0][0]) * 8 / (n_images * 512 * 768):.3f} bpp)",
+        f"({len(out['strings'][0][0]) * 8 / (step * 512 * 768):.3f} bpp)",
         file=sys.stderr,
     )
 
@@ -145,9 +151,12 @@ def main():
     elapsed = float("inf")
     for _ in range(3):
         start = time.time()
-        out_enc = codec.compress(batch)
+        encs = []
+        for c in chunks:
+            encs.append(codec.compress(c))
         t_enc = time.time() - start
-        out_dec = codec.decompress(out_enc["strings"], out_enc["shape"])
+        for e in encs:
+            out_dec = codec.decompress(e["strings"], e["shape"])
         jax.block_until_ready(out_dec["x_hat"])
         total = time.time() - start
         print(
