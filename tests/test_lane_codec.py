@@ -217,6 +217,44 @@ class TestLaneCodec:
             np.asarray(dec_fb["x_hat"]), np.asarray(dec_walk["x_hat"])
         )
 
+    def test_bf16_lane_matches_bf16_host(self, small_model_state):
+        """The bench's exact configuration (bf16 transforms + lane
+        backend): streams and reconstructions must match the bf16 host
+        backend bit-for-bit on the per-slice walk."""
+        import jax.numpy as jnp
+
+        model, state = small_model_state
+        host = Codec(model, state.params, dtype=jnp.bfloat16, coder="host")
+        lane = Codec(model, state.params, dtype=jnp.bfloat16, coder="lane")
+        x = np.asarray(jax.random.uniform(jax.random.key(13), (1, 64, 64, 3)))
+        enc_h = host.compress(x)
+        enc_l = lane.compress(x)
+        assert enc_h["strings"][1] == enc_l["strings"][1]
+        dec_f = lane.decompress(enc_l["strings"], enc_l["shape"])  # fused
+        lane.fused = False
+        dec_w = lane.decompress(enc_l["strings"], enc_l["shape"])
+        dec_h = host.decompress(enc_h["strings"], enc_h["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec_w["x_hat"], np.float32),
+            np.asarray(dec_h["x_hat"], np.float32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(dec_f["x_hat"], np.float32),
+            np.asarray(dec_h["x_hat"], np.float32),
+            atol=1e-2, rtol=1e-2,  # bf16 fusion noise
+        )
+
+    def test_corrupt_stream_raises_not_garbage(self, small_model_state):
+        """Structurally broken lane streams must raise, not decode junk."""
+        model, state = small_model_state
+        lane = Codec(model, state.params, coder="lane")
+        x = np.asarray(jax.random.uniform(jax.random.key(14), (1, 64, 64, 3)))
+        enc = lane.compress(x)
+        y = enc["strings"][0][0]
+        with pytest.raises((ValueError, RuntimeError)):
+            lane.decompress([[y[: len(y) // 3]], enc["strings"][1]],
+                            enc["shape"])
+
     def test_lane_stream_is_deterministic(self, small_model_state):
         model, state = small_model_state
         lane = Codec(model, state.params, coder="lane")
