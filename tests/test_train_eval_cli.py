@@ -189,3 +189,37 @@ def test_eval_cli_batched(tiny_dataset, tiny_registry, tmp_path, capsys):
     r = result["results"]
     assert r["bpp"][0] > 0 and np.isfinite(r["psnr"][0])
     assert len(os.listdir(tmp_path / "recon_b")) == 2
+
+
+@pytest.mark.parametrize("arch", ["cnn", "stf"])
+def test_eval_cli_full_size_constructors(arch, tmp_path, capsys):
+    """The PUBLISHED full-size constructors run end-to-end through the
+    eval CLI at one small shape — closes the gap between 'tested' (tiny
+    configs) and 'shipped' (full-size registry entries)."""
+    import jax
+    from PIL import Image
+
+    from stf_tpu.cli.eval_model import main as eval_main
+    from stf_tpu.training import create_train_state
+    from stf_tpu.zoo import models, save_checkpoint
+
+    d = tmp_path / "img"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    Image.fromarray(
+        (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    ).save(d / "a.png")
+
+    model = models[arch]()  # full-size published config
+    state = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+    )
+    ckpt = str(tmp_path / f"{arch}.msgpack")
+    save_checkpoint(ckpt, arch, state.params)
+
+    eval_main(
+        ["-d", str(d), "-a", arch, "-p", ckpt,
+         "-r", str(tmp_path / "recon")]
+    )
+    r = json.loads(capsys.readouterr().out)["results"]
+    assert r["bpp"][0] > 0 and np.isfinite(r["psnr"][0])
