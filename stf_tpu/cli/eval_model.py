@@ -160,7 +160,8 @@ def eval_model(
     batch_size=1,
     backend="host",
 ):
-    if half:
+    if half and entropy_estimation:
+        # estimation path has no coder: plain bf16 params are fine
         params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
             if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
@@ -169,8 +170,16 @@ def eval_model(
         )
     metrics = collections.defaultdict(float)
     counts = collections.defaultdict(int)
+    # real-coding path: Codec(dtype=bf16) keeps the entropy bottleneck f32
+    # so the CDF tables stay exact (the RD-guarded bench configuration) —
+    # a blanket params cast would rebuild tables from bf16 quantiles
     codec = (
-        None if entropy_estimation else Codec(model, params, coder=backend)
+        None
+        if entropy_estimation
+        else Codec(
+            model, params, coder=backend,
+            dtype=jnp.bfloat16 if half else None,
+        )
     )
     apply_jit = (
         jax.jit(

@@ -161,6 +161,37 @@ def test_eval_cli_lane_backend(tiny_dataset, tiny_registry, tmp_path, capsys):
     )
 
 
+def test_eval_cli_half(tiny_dataset, tiny_registry, tmp_path, capsys):
+    """--half runs bf16 transforms with an f32 entropy bottleneck (the
+    RD-guarded configuration): metrics must stay finite and bpp must be
+    close to the f32 run's (exact CDF tables either way)."""
+    import jax
+
+    from stf_tpu.cli.eval_model import main as eval_main
+    from stf_tpu.training import create_train_state
+    from stf_tpu.zoo import models, save_checkpoint
+
+    model = models[tiny_registry]()
+    state = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+    )
+    ckpt = str(tmp_path / "mh.msgpack")
+    save_checkpoint(ckpt, tiny_registry, state.params)
+
+    results = {}
+    for extra, tag in (([], "f32"), (["--half"], "bf16")):
+        eval_main(
+            ["-d", os.path.join(tiny_dataset, "test"),
+             "-a", tiny_registry, "-p", ckpt,
+             "-r", str(tmp_path / f"recon_h_{tag}")] + extra
+        )
+        results[tag] = json.loads(capsys.readouterr().out)["results"]
+    assert np.isfinite(results["bf16"]["psnr"][0])
+    np.testing.assert_allclose(
+        results["bf16"]["bpp"][0], results["f32"]["bpp"][0], rtol=0.1
+    )
+
+
 def test_eval_cli_batched(tiny_dataset, tiny_registry, tmp_path, capsys):
     """--batch-size groups same-shape images through one codec walk."""
     import jax
