@@ -111,22 +111,24 @@ def truncate_tables(cdf, cdf_lengths, offsets, max_half: int = 127) -> LaneTable
         pmf_len = L - 2
         freqs = np.diff(cdf[r, :L])  # pmf_len + 1 freqs (escape last)
         center = -int(offsets[r])
-        if pmf_len <= 2 * max_half + 1 or not (
-            max_half <= center < pmf_len - max_half
-        ):
-            # small or non-centered row (e.g. entropy-bottleneck quantile
-            # rows): keep as-is
+        if pmf_len <= 2 * max_half + 1:
+            # small row fits as-is
             out_cdf[r, :L] = cdf[r, :L]
             out_len[r] = L
             out_off[r] = offsets[r]
             continue
-        lo, hi = center - max_half, center + max_half + 1
+        # wide row: keep a (2*max_half+1)-slot window around its center,
+        # clipped into the row (off-center rows, e.g. asymmetric entropy-
+        # bottleneck supports, slide the window instead of overflowing the
+        # output width)
+        lo = min(max(center - max_half, 0), pmf_len - (2 * max_half + 1))
+        hi = lo + 2 * max_half + 1
         kept = freqs[lo:hi]
         esc = freqs[pmf_len] + freqs[:lo].sum() + freqs[hi:pmf_len].sum()
         new = np.concatenate([[0], np.cumsum(np.concatenate([kept, [esc]]))])
         out_cdf[r, : new.size] = new
         out_len[r] = new.size
-        out_off[r] = -max_half
+        out_off[r] = offsets[r] + lo  # == -max_half for centered rows
     return make_lane_tables(out_cdf, out_len, out_off)
 
 
@@ -719,6 +721,16 @@ def _encode_kernel(tg: int, wcap_rows: int, scap_rows: int,
 
             @pl.when(base + n_esc > (scap_rows - 2) * K)
             def _flag():
+                ovf_ref[g] = 1
+
+            # escape values ride an f32 one-hot scatter, exact only below
+            # 2^24 — flag larger magnitudes so the segment re-encodes on
+            # the host (which stores them exactly)
+            big = jnp.sum(
+                (esc & (jnp.abs(sym) >= (1 << 24))).astype(jnp.float32)
+            )
+            @pl.when(big > 0.0)
+            def _flag_big():
                 ovf_ref[g] = 1
 
             scur_ref[g] = base + n_esc

@@ -54,8 +54,14 @@ def load_baseline(name_or_path: str):
         return blob
     # reference results/*.json layout: {"results": {"bpp": [...], "psnr": [...]}}
     res = blob["results"]
-    quality = res.get("psnr") or res.get("ms-ssim")
-    return {"bpp": res["bpp"], "quality": quality, "metric": "psnr"}
+    if res.get("psnr") is not None:
+        return {"bpp": res["bpp"], "quality": res["psnr"], "metric": "psnr"}
+    # MS-SSIM-optimized files store -10*log10(1-MS-SSIM) dB (sometimes
+    # under a "psnr" key in the reference's own files)
+    return {
+        "bpp": res["bpp"], "quality": res["ms-ssim"],
+        "metric": "ms-ssim-db",
+    }
 
 
 def main(argv=None):
@@ -92,6 +98,19 @@ def main(argv=None):
         args.baseline or f"{args.architecture}_mse_Kodak"
     )
 
+    # compare in the BASELINE's quality metric: PSNR curves vs eval PSNR,
+    # MS-SSIM curves vs -10*log10(1 - MS-SSIM) dB (never mix the two)
+    import math
+
+    metric = baseline.get("metric", "psnr")
+    if metric == "ms-ssim-db" and args.entropy_estimation:
+        print(
+            "Error: --entropy-estimation computes no MS-SSIM; use a PSNR "
+            "baseline or run real coding.",
+            file=sys.stderr,
+        )
+        return 1
+
     bpps, qualities = [], []
     recon = args.recon_path or tempfile.mkdtemp(prefix="rd_recon_")
     for path in present:
@@ -104,10 +123,14 @@ def main(argv=None):
             recon_path=recon,
             batch_size=args.batch_size,
         )
+        if metric == "ms-ssim-db":
+            q = -10 * math.log10(max(1 - metrics["ms-ssim"], 1e-12))
+        else:
+            q = metrics["psnr"]
         bpps.append(metrics["bpp"])
-        qualities.append(metrics["psnr"])
+        qualities.append(q)
         print(
-            f"{path}: bpp={metrics['bpp']:.4f} psnr={metrics['psnr']:.2f}",
+            f"{path}: bpp={metrics['bpp']:.4f} {metric}={q:.2f}",
             file=sys.stderr,
         )
 
@@ -115,13 +138,14 @@ def main(argv=None):
         "name": args.architecture,
         "dataset": args.dataset,
         "baseline": args.baseline or f"{args.architecture}_mse_Kodak",
-        "results": {"bpp": bpps, "psnr": qualities},
+        "metric": metric,
+        "results": {"bpp": bpps, metric: qualities},
     }
     if len(bpps) >= 2:
         out["bd_rate_pct"] = bd_rate(
             baseline["bpp"], baseline["quality"], bpps, qualities
         )
-        out["bd_psnr_db"] = bd_quality(
+        out["bd_quality_db"] = bd_quality(
             baseline["bpp"], baseline["quality"], bpps, qualities
         )
     else:

@@ -278,9 +278,7 @@ class Codec:
                 q32 = jnp.round(y_slice - mu).astype(jnp.int32)
                 h = _idx_hash_dev(idx)
                 n = int(np.prod(y_slice.shape))
-                from ..ans import lane_coder as _lc
-
-                words, side, states, counts = _lc.lane_encode_device(
+                words, side, states, counts = lc.lane_encode_device(
                     q32, idx, cdf, lens, offs, n, pad_sym,
                     interpret=interpret,
                 )
@@ -437,8 +435,6 @@ class Codec:
     def _lane_rv(self, idx, words_dev, side_dev, states_dev):
         """Decode one lane-rANS segment on device: (idx-shaped int32
         symbols). jit-cached per (idx shape, stream bucket shapes)."""
-        import jax.numpy as jnp
-
         from ..ans import lane_coder as lc
 
         key = (idx.shape, words_dev.shape[0], side_dev.shape[0])
@@ -759,11 +755,6 @@ class Codec:
         # through the host rANS decoder, the other sub-batches' dispatches
         # and index transfers are in flight.
         lane = self.coder == "lane"
-        if lane and len(dev_segs) != S * K:
-            raise ValueError(
-                f"lane stream has {len(dev_segs)} segments, expected "
-                f"{S * K} (num_slices x pipeline mismatch?)"
-            )
         for k in range(K):
             mu[k], idx[k] = self._slice_idx(self.params, 0, lm[k], ls[k], ())
             if not lane:

@@ -19,6 +19,25 @@ def _fit(rate, dist):
     return np.log(rate[order]), dist[order]
 
 
+def _bd_averages(x1, y1, x2, y2, axis_name: str):
+    """Fit y(x) cubics for both curves and return each curve's average y
+    over the overlapping x range (the shared Bjøntegaard integration)."""
+    deg = min(3, len(x1) - 1, len(x2) - 1)
+    if deg < 1:
+        raise ValueError("need at least 2 RD points per curve")
+    p1 = np.polyfit(x1, y1, deg)
+    p2 = np.polyfit(x2, y2, deg)
+    lo = max(x1.min(), x2.min())
+    hi = min(x1.max(), x2.max())
+    if hi <= lo:
+        raise ValueError(f"RD curves do not overlap in {axis_name}")
+    i1 = np.polyint(p1)
+    i2 = np.polyint(p2)
+    avg1 = (np.polyval(i1, hi) - np.polyval(i1, lo)) / (hi - lo)
+    avg2 = (np.polyval(i2, hi) - np.polyval(i2, lo)) / (hi - lo)
+    return avg1, avg2
+
+
 def bd_rate(
     rate_ref: Sequence[float],
     dist_ref: Sequence[float],
@@ -28,19 +47,7 @@ def bd_rate(
     """Average rate difference (%) of test vs reference at equal quality."""
     lr1, d1 = _fit(rate_ref, dist_ref)
     lr2, d2 = _fit(rate_test, dist_test)
-    deg = min(3, len(d1) - 1, len(d2) - 1)
-    if deg < 1:
-        raise ValueError("need at least 2 RD points per curve")
-    p1 = np.polyfit(d1, lr1, deg)
-    p2 = np.polyfit(d2, lr2, deg)
-    lo = max(d1.min(), d2.min())
-    hi = min(d1.max(), d2.max())
-    if hi <= lo:
-        raise ValueError("RD curves do not overlap in quality")
-    i1 = np.polyint(p1)
-    i2 = np.polyint(p2)
-    avg1 = (np.polyval(i1, hi) - np.polyval(i1, lo)) / (hi - lo)
-    avg2 = (np.polyval(i2, hi) - np.polyval(i2, lo)) / (hi - lo)
+    avg1, avg2 = _bd_averages(d1, lr1, d2, lr2, "quality")
     return float((np.exp(avg2 - avg1) - 1) * 100)
 
 
@@ -53,19 +60,7 @@ def bd_quality(
     """Average quality difference (dB) of test vs reference at equal rate."""
     lr1, d1 = _fit(rate_ref, dist_ref)
     lr2, d2 = _fit(rate_test, dist_test)
-    deg = min(3, len(d1) - 1, len(d2) - 1)
-    if deg < 1:
-        raise ValueError("need at least 2 RD points per curve")
-    p1 = np.polyfit(lr1, d1, deg)
-    p2 = np.polyfit(lr2, d2, deg)
-    lo = max(lr1.min(), lr2.min())
-    hi = min(lr1.max(), lr2.max())
-    if hi <= lo:
-        raise ValueError("RD curves do not overlap in rate")
-    i1 = np.polyint(p1)
-    i2 = np.polyint(p2)
-    avg1 = (np.polyval(i1, hi) - np.polyval(i1, lo)) / (hi - lo)
-    avg2 = (np.polyval(i2, hi) - np.polyval(i2, lo)) / (hi - lo)
+    avg1, avg2 = _bd_averages(lr1, d1, lr2, d2, "rate")
     return float(avg2 - avg1)
 
 

@@ -43,3 +43,27 @@ def test_single_point_delta():
 def test_too_few_points():
     with pytest.raises(ValueError):
         bd_rate([0.1], [30.0], BPP, PSNR)
+
+
+def test_rd_compare_baseline_metric_selection(tmp_path):
+    """MS-SSIM reference curves must be flagged ms-ssim-db so the harness
+    never integrates PSNR qualities against them."""
+    import json
+
+    from stf_tpu.cli.rd_compare import load_baseline
+
+    blob = {"results": {"bpp": [0.1, 0.2], "ms-ssim": [13.6, 15.0]}}
+    p = tmp_path / "ms.json"
+    p.write_text(json.dumps(blob))
+    b = load_baseline(str(p))
+    assert b["metric"] == "ms-ssim-db"
+    assert b["quality"] == [13.6, 15.0]
+
+    blob = {"results": {"bpp": [0.1, 0.2], "psnr": [29.1, 30.5]}}
+    p2 = tmp_path / "ps.json"
+    p2.write_text(json.dumps(blob))
+    assert load_baseline(str(p2))["metric"] == "psnr"
+
+    from stf_tpu.zoo.published import PUBLISHED_RD
+
+    assert PUBLISHED_RD["cnn_ms-ssim_Kodak"]["metric"] == "ms-ssim-db"

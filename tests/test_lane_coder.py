@@ -18,6 +18,7 @@ from stf_tpu.ans.lane_coder import (
     lane_decode_reference,
     lane_encode,
     make_lane_tables,
+    truncate_tables,
 )
 
 
@@ -120,3 +121,34 @@ def test_pallas_kernel_compression_ratio():
     assert bits / stream.n < 4.0  # ~3 bits/sym alphabets
     dec = np.asarray(lane_decode(stream, idx, tables, interpret=True))
     np.testing.assert_array_equal(dec, sym)
+
+
+def test_truncate_tables_off_center_wide_row():
+    """A wide row whose center sits near an edge slides its kept window
+    into the row instead of overflowing the clamped width, and symbols
+    round-trip (in-window directly, out-of-window via the side channel)."""
+    pmf_len = 200
+    freqs = np.ones(pmf_len + 1, np.int64)  # + escape slot
+    freqs[:60] = 100  # mass near the low edge
+    cdf = np.concatenate([[0], np.cumsum(freqs * (1 << 16) // freqs.sum())])
+    cdf[-1] = 1 << 16
+    # repair potential zero bins
+    for i in range(1, cdf.size):
+        cdf[i] = max(cdf[i], cdf[i - 1] + 1)
+    cdf[-1] = 1 << 16
+    offsets = np.array([-10], np.int32)  # center 10 << max_half
+    tables = truncate_tables(
+        cdf[None], np.array([cdf.size], np.int32), offsets, max_half=62
+    )
+    assert tables.cdf.shape[1] <= 2 * 62 + 3
+    # window slid to start at the row's low edge
+    assert tables.offsets[0] == -10
+
+    rng = np.random.default_rng(5)
+    sym = rng.integers(-10, 190, 4000).astype(np.int32)
+    idx = np.zeros(4000, np.int32)
+    stream = lane_encode(sym, idx, tables)
+    assert stream.side.size > 0  # beyond-window values escaped
+    np.testing.assert_array_equal(
+        lane_decode_reference(stream, idx, tables), sym
+    )
