@@ -296,14 +296,34 @@ def lane_decode_reference(
 # -- stream framing -----------------------------------------------------------
 
 
+# Format word leading every packed stream: magic byte, layout version, and
+# the two constants the layout depends on (GROUPS, K). A future GROUPS/K
+# change (or a stream from a different build) fails loudly at unpack
+# instead of silently misparsing (CLAUDE.md stream-layout invariant).
+_STREAM_MAGIC = 0x5A
+_STREAM_VERSION = 1
+
+
+def _format_word() -> int:
+    return (
+        (_STREAM_MAGIC << 24)
+        | (_STREAM_VERSION << 16)
+        | (GROUPS << 8)
+        | (K & 0xFF)
+    )
+
+
 def pack_lane_stream(segments) -> bytes:
     """Serialize a list of LaneStream segments into one byte string.
 
-    Layout (little-endian): u32 segment count; per segment u32 n_symbols,
+    Layout (little-endian): u32 format word (magic/version/GROUPS/K, see
+    `_format_word`); u32 segment count; per segment u32 n_symbols,
     G u32 word counts, G u32 side counts; then per segment, in order:
     G*K u32 init states, words u16 (padded to 4-byte alignment), side i32.
     """
-    head = [np.asarray([len(segments)], "<u4").tobytes()]
+    head = [
+        np.asarray([_format_word(), len(segments)], "<u4").tobytes()
+    ]
     body = []
     for seg in segments:
         head.append(np.asarray([seg.n], "<u4").tobytes())
@@ -320,29 +340,51 @@ def pack_lane_stream(segments) -> bytes:
 
 
 def unpack_lane_stream(buf: bytes):
-    """Inverse of pack_lane_stream: a list of LaneStream segments."""
+    """Inverse of pack_lane_stream: a list of LaneStream segments.
+
+    Validates the format word and every section's byte extent against the
+    remaining buffer, so truncation or a layout mismatch raises ValueError
+    instead of yielding silently-short arrays and a garbage decode.
+    """
     buf = memoryview(buf)
-    count = int(np.frombuffer(buf[:4], "<u4")[0])
+
+    def take(pos: int, nbytes: int, what: str):
+        if pos + nbytes > len(buf):
+            raise ValueError(
+                f"truncated lane stream: {what} needs {nbytes} bytes at "
+                f"offset {pos}, have {len(buf) - pos}"
+            )
+        return buf[pos : pos + nbytes], pos + nbytes
+
+    head, pos = take(0, 8, "header")
+    fmt, count = (int(v) for v in np.frombuffer(head, "<u4"))
+    if fmt != _format_word():
+        raise ValueError(
+            f"lane stream format word 0x{fmt:08x} does not match this "
+            f"build's 0x{_format_word():08x} (magic/version/GROUPS/K)"
+        )
     meta_w = 1 + 2 * GROUPS
-    meta = np.frombuffer(
-        buf[4 : 4 + 4 * meta_w * count], "<u4"
-    ).reshape(count, meta_w)
+    raw, pos = take(pos, 4 * meta_w * count, "segment metadata")
+    meta = np.frombuffer(raw, "<u4").reshape(count, meta_w)
     segments = []
-    pos = 4 + 4 * meta_w * count
     for row in meta:
         n = int(row[0])
         wc = row[1 : 1 + GROUPS].astype(np.int64)
         sc = row[1 + GROUPS :].astype(np.int64)
         nw, ns = int(wc.sum()), int(sc.sum())
-        states = np.frombuffer(
-            buf[pos : pos + 4 * GROUPS * K], "<u4"
-        ).reshape(GROUPS, K)
-        pos += 4 * GROUPS * K
-        words = np.frombuffer(buf[pos : pos + 2 * nw], "<u2")
-        pos += 2 * nw + (2 * nw) % 4
-        side = np.frombuffer(buf[pos : pos + 4 * ns], "<i4")
-        pos += 4 * ns
+        raw, pos = take(pos, 4 * GROUPS * K, "init states")
+        states = np.frombuffer(raw, "<u4").reshape(GROUPS, K)
+        raw, pos = take(pos, 2 * nw, "word stream")
+        words = np.frombuffer(raw, "<u2")
+        _, pos = take(pos, (2 * nw) % 4, "alignment padding")
+        raw, pos = take(pos, 4 * ns, "side channel")
+        side = np.frombuffer(raw, "<i4")
         segments.append(LaneStream(words, wc, states, side, sc, n))
+    if pos != len(buf):
+        raise ValueError(
+            f"lane stream has {len(buf) - pos} trailing bytes after the "
+            "last segment"
+        )
     return segments
 
 

@@ -75,6 +75,14 @@ def main(argv=None):
     p.add_argument(
         "--half", action="store_true", help="prime the bfloat16 variant"
     )
+    p.add_argument(
+        "--backend",
+        choices=("host", "lane"),
+        default="host",
+        help="entropy backend to prime (mirror of eval_model --backend; "
+        "'lane' also compiles the Pallas decode kernels and the fused "
+        "decompress program)",
+    )
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -84,7 +92,8 @@ def main(argv=None):
 
     model, params = load_checkpoint(args.path, args.architecture)
     codec = Codec(
-        model, params, dtype=jnp.bfloat16 if args.half else None
+        model, params, dtype=jnp.bfloat16 if args.half else None,
+        coder=args.backend,
     )
     prime(
         codec,

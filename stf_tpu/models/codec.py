@@ -68,6 +68,27 @@ def _idx_hash_dev(idx):
     return jnp.sum(flat * w, dtype=jnp.uint32)
 
 
+def _unpack12(packed_np: np.ndarray, n: int):
+    """Host inverse of the codec's 12-bit (q, idx) drain packing: a
+    (1.5*ceil2(n),) uint8 buffer -> (symbols int32, indexes uint8).
+
+    Layout (built in `quantize_packed` on device): v = (q+32)<<6 | idx as
+    12-bit values; low bytes for all ceil2(n) padded symbols first, then
+    the 4-bit high parts packed two per byte (even symbol in the low
+    nibble)."""
+    m = n + (n & 1)
+    lo = packed_np[:m].astype(np.uint16)
+    hib = packed_np[m : m + m // 2]
+    hi = np.empty(m, np.uint16)
+    hi[0::2] = hib & 0xF
+    hi[1::2] = hib >> 4
+    v = lo | (hi << 8)
+    v = v[:n]
+    sym = (v >> 6).astype(np.int32) - 32
+    idx = (v & 63).astype(np.uint8)
+    return sym, idx
+
+
 class Codec:
     """Wraps (model, params) with CDF tables and jitted coding-path fns.
 
@@ -89,6 +110,9 @@ class Codec:
         dtype=None,
         coder: str = "host",
         device_encode: bool = False,
+        pack_drain: Optional[bool] = None,
+        analyze_chunks: int = 1,
+        synth_chunks: int = 1,
     ):
         """`coder` picks the y-latent entropy backend:
           * "host" — reference-contract rANS on the CPU (default); indexes
@@ -163,13 +187,40 @@ class Codec:
             else jax.tree_util.tree_leaves(params)[0].dtype
         )
 
+        # `analyze_chunks`/`synth_chunks` > 1 run the batch through the
+        # transform in that many sequential sub-batches INSIDE one jitted
+        # program (lax.map): peak activation memory shrinks ~chunks-fold
+        # while the rest of the coding path (walk, entropy, dispatches)
+        # stays a single full-batch program. This is how the Swin flagship
+        # fits batch-24 Kodak eval in 16 GB HBM without splitting the whole
+        # codec walk in two (the analyze alone needs 16.24 GB at batch 24,
+        # PERF.md).
+        self.analyze_chunks = max(int(analyze_chunks), 1)
+        self.synth_chunks = max(int(synth_chunks), 1)
+
+        def chunked_apply(p, arr, chunks, method):
+            if chunks > 1 and arr.shape[0] % chunks == 0:
+                parts = arr.reshape(
+                    chunks, arr.shape[0] // chunks, *arr.shape[1:]
+                )
+                out = jax.lax.map(
+                    lambda a: model.apply({"params": p}, a, method=method),
+                    parts,
+                )
+                return jax.tree_util.tree_map(
+                    lambda o: o.reshape(-1, *o.shape[2:]), out
+                )
+            return model.apply({"params": p}, arr, method=method)
+
+        self._chunked_apply = chunked_apply
+
         def analyze(p, x):
             # accept native uint8 images: upload 1 byte/px and normalize on
             # device (4x less host->device traffic than f32)
             if x.dtype == jnp.uint8:
                 x = x.astype(jnp.float32) / 255.0
-            return model.apply(
-                {"params": p}, x.astype(self.dtype), method="analyze"
+            return chunked_apply(
+                p, x.astype(self.dtype), self.analyze_chunks, "analyze"
             )
 
         self._analyze = jax.jit(analyze)
@@ -219,6 +270,43 @@ class Codec:
 
         self._quantize = jax.jit(quantize)
 
+        # Packed drain: the host entropy coder needs (q, idx) per symbol;
+        # draining them as int8+uint8 costs 2 B/symbol *independent of the
+        # operating point* (the drain carries symbol count, not stream
+        # bytes — it dominated encode on link-bound setups, PERF.md). idx
+        # needs 6 bits (64 scale levels) and trained q fits well inside
+        # [-32, 31], so both pack into 12 bits = 1.5 B/symbol, built with
+        # shift-ors in the quantize program and unpacked on the host
+        # (`_unpack12`) before the byte-identical rANS encode. A slice
+        # with any |q| > 31 falls back to the int8/int32 drain (flag
+        # checked in one batched fetch after the walk).
+        self._pack_drain = (
+            len(self.scale_table) <= 64
+            if pack_drain is None
+            else bool(pack_drain)
+        )
+
+        def quantize_packed(y_slice, mu, idx):
+            q32 = jnp.round(y_slice - mu).astype(jnp.int32)
+            q8 = jnp.clip(q32, -128, 127).astype(jnp.int8)
+            overflow = jnp.any(q32 != q8.astype(jnp.int32))
+            qb = q32.reshape(-1) + 32
+            fits = jnp.all((qb >= 0) & (qb < 64))
+            v = (jnp.clip(qb, 0, 63) << 6) | idx.reshape(-1).astype(jnp.int32)
+            n = v.shape[0]
+            m = n + (n & 1)
+            v = jnp.pad(v, (0, m - n))
+            lo = (v & 0xFF).astype(jnp.uint8)
+            hi = (v >> 8).reshape(-1, 2)
+            hib = (hi[:, 0] | (hi[:, 1] << 4)).astype(jnp.uint8)
+            packed = jnp.concatenate([lo, hib])
+            return q32, packed, fits, q8, overflow
+
+        self._quantize_packed = jax.jit(quantize_packed)
+        # one fetch for a list of tiny device scalars: each bool(scalar)
+        # is a blocking round trip (~30 ms through a tunneled link)
+        self._stack_flags = jax.jit(lambda xs: jnp.stack(xs))
+
         def z_quantize(z, medians):
             # device-side z quantization: only ~1 byte/symbol crosses the
             # link for the factorized stream (vs the 4-byte float latent),
@@ -235,7 +323,9 @@ class Codec:
 
         self._z_quantize = jax.jit(z_quantize)
         self._synth = jax.jit(
-            lambda p, y_hat: model.apply({"params": p}, y_hat, method="synthesize")
+            lambda p, y_hat: chunked_apply(
+                p, y_hat, self.synth_chunks, "synthesize"
+            )
         )
 
     # -- table refresh (reference `update()`) --------------------------------
@@ -315,12 +405,56 @@ class Codec:
             self._gather_cache[key] = fn
         return fn
 
+    def _pending_symbols(self, pending) -> Dict:
+        """Resolve host-coder (symbols, indexes) numpy arrays for the
+        walk's "packed"/"host" pending entries. One batched fetch of all
+        per-slice flags, then per-entry unpack — the bulk transfers were
+        started asynchronously during the walk."""
+        keys = [
+            key for key in sorted(pending)
+            if pending[key][0] in ("packed", "host")
+        ]
+        if not keys:
+            return {}
+        pairs: List = []
+        for key in keys:
+            ent = pending[key]
+            if ent[0] == "packed":
+                pairs += [ent[3], ent[5]]  # fits, overflow
+            else:
+                pairs += [False, ent[3]]   # overflow only
+        flags = np.asarray(self._stack_flags(pairs))
+        out: Dict = {}
+        for j, key in enumerate(keys):
+            ent = pending[key]
+            fits, overflow = bool(flags[2 * j]), bool(flags[2 * j + 1])
+            if ent[0] == "packed":
+                _, q32, packed, _, q8, _, idx = ent
+                if fits:
+                    out[key] = _unpack12(
+                        np.asarray(packed), int(np.prod(q32.shape))
+                    )
+                    continue
+                q = q32 if overflow else q8
+                out[key] = (
+                    np.asarray(q).reshape(-1),
+                    np.asarray(idx).reshape(-1),
+                )
+            else:
+                _, q32, q8, _, idx = ent
+                q = q32 if overflow else q8
+                out[key] = (
+                    np.asarray(q).reshape(-1),
+                    np.asarray(idx).reshape(-1),
+                )
+        return out
+
     def _fused_decode_fn(self, subs, y_shape, wr, sr, ns):
         """Build (or fetch) the one-dispatch lane decompress program: z_hat
         + resident stream banks -> (x_hat, per-segment idx hashes)."""
         from ..ans import lane_coder as lc
 
-        key = (tuple(subs), y_shape, wr, sr, tuple(ns))
+        key = (tuple(subs), y_shape, wr, sr, tuple(ns), self.synth_chunks)
         fn = self._lane_fused_cache.get(key)
         if fn is not None:
             return fn
@@ -381,8 +515,8 @@ class Codec:
                         )
                 y_hat_subs.append(jnp.concatenate(y_hat_slices, axis=-1))
             y_hat = jnp.concatenate(y_hat_subs, axis=0)
-            x_hat = model.apply(
-                {"params": params}, y_hat, method="synthesize"
+            x_hat = self._chunked_apply(
+                params, y_hat, self.synth_chunks, "synthesize"
             )
             hvec = jnp.stack(
                 [hashes[(i, k)] for i in range(S) for k in range(K_subs)]
@@ -393,7 +527,9 @@ class Codec:
         self._lane_fused_cache[key] = fn
         return fn
 
-    def _fused_decompress(self, z_hat, y_shape, subs, segments, enc_hashes):
+    def _fused_decompress(
+        self, z_hat, y_shape, subs, segments, enc_hashes, probe=None
+    ):
         """One-dispatch lane decompress. Returns x_hat, or None if the
         fused program's idx hashes don't match the stream's (caller then
         falls back to the lockstep per-slice walk)."""
@@ -415,6 +551,8 @@ class Codec:
         states = jax.device_put(
             np.stack([np.ascontiguousarray(s.states) for s in segments])
         )
+        if probe is not None:
+            probe("banks_upload", states)
         fn = self._fused_decode_fn(
             subs, y_shape, wr, sr, tuple(s.n for s in segments)
         )
@@ -422,6 +560,8 @@ class Codec:
             self.params, z_hat, words, side, states, *self._lane_dev_tables
         )
         if np.array_equal(np.asarray(hvec), enc_hashes):
+            if probe is not None:
+                probe("fused_walk_synth", x_hat)
             return x_hat
         import warnings
 
@@ -527,6 +667,7 @@ class Codec:
             })
         tail_np: Dict = {}
 
+        sym_idx = self._pending_symbols(pending)
         segments, hashes = [], []
         for key in keys:
             ent = pending[key]
@@ -546,17 +687,15 @@ class Codec:
                 continue
             # host fallback: overflow-flagged dev segment or host entry
             if ent[0] == "dev":
-                q_np = np.asarray(ent[1])
-                idx_np = np.asarray(ent[2])
+                q_np = np.asarray(ent[1]).reshape(-1)
+                idx_np = np.asarray(ent[2]).reshape(-1)
                 hashes.append(hash_np[key])
             else:
-                _, q32, q8, overflow, idx = ent
-                q_np = np.asarray(q32 if bool(overflow) else q8)
-                idx_np = np.asarray(idx)
+                q_np, idx_np = sym_idx[key]
                 hashes.append(_idx_hash_host(idx_np))
             segments.append(lc.lane_encode(
-                q_np.reshape(-1).astype(np.int32),
-                idx_np.reshape(-1),
+                q_np.astype(np.int32),
+                idx_np,
                 self.lane_tables,
             ))
         return (
@@ -616,9 +755,21 @@ class Codec:
 
     # -- compress ------------------------------------------------------------
 
-    def compress(self, x) -> Dict[str, Any]:
-        """x: NHWC float array in [0,1]. Returns strings + z spatial shape."""
-        y, z = self._analyze(self.params, jnp.asarray(x))
+    def compress(self, x, probe=None) -> Dict[str, Any]:
+        """x: NHWC float array in [0,1]. Returns strings + z spatial shape.
+
+        `probe(name, arr_or_None)` is an optional instrumentation hook
+        called at phase boundaries (upload/analyze/hyper/walk/drain/rans).
+        A probe that synchronizes on `arr` serializes the pipeline — use
+        it for attribution runs, never inside the timed path."""
+        if probe is None:
+            x_dev = jnp.asarray(x)
+        else:
+            x_dev = jax.device_put(x)
+            probe("upload", x_dev)
+        y, z = self._analyze(self.params, x_dev)
+        if probe is not None:
+            probe("analyze", y)
         # z_hat is built on device exactly as the decoder will (round +
         # medians, f32); the int8 symbol copy drains asynchronously for the
         # host factorized coder while the hyper/walk dispatches proceed
@@ -629,6 +780,8 @@ class Codec:
 
         y_shape = (y.shape[1], y.shape[2])
         latent_means, latent_scales = self._hyper(self.params, z_hat, y_shape)
+        if probe is not None:
+            probe("hyper", latent_scales)
         bounds = self.model.slice_boundaries(y.shape[-1])
 
         pending = {}  # (slice, sub) -> ("dev" | "host", ...)
@@ -656,6 +809,15 @@ class Codec:
                         "dev", q32, idx, words, side, states, counts, h
                     )
                     return q32
+                if self._pack_drain:
+                    q32, packed, fits, q8, overflow = self._quantize_packed(
+                        y_slices[i], mu, idx
+                    )
+                    self._start_transfer(packed)
+                    pending[(i, k)] = (
+                        "packed", q32, packed, fits, q8, overflow, idx
+                    )
+                    return q32
                 q32, q8, overflow = self._quantize(y_slices[i], mu)
                 self._start_transfer(q8)
                 self._start_transfer(idx)
@@ -664,26 +826,33 @@ class Codec:
 
             self._walk_slices(lm, ls, get_symbols)
 
+        if probe is not None:
+            probe("walk", pending[max(pending)][1])
+
         # (slice, sub-batch) order — must match the decoder's read order
         if self.coder == "lane":
             y_string = self._build_lane_stream(pending)
+            if probe is not None:
+                probe("entropy", None)
         else:
             cdf, lengths, offsets = self.gc_coder.tables.astuple()
+            sym_idx = self._pending_symbols(pending)
+            if probe is not None:
+                probe("drain", None)
             encoder = BufferedRansEncoder()
             for key in sorted(pending):
-                _, q32, q8, overflow, idx = pending[key]
-                q = q32 if bool(overflow) else q8
+                sym_np, idx_np = sym_idx[key]
                 encoder.encode_with_indexes(
-                    np.asarray(q).reshape(-1),
-                    np.asarray(idx).reshape(-1),
-                    cdf,
-                    lengths,
-                    offsets,
+                    sym_np, idx_np, cdf, lengths, offsets
                 )
             y_string = encoder.flush()
+            if probe is not None:
+                probe("rans", None)
 
         z_sym = np.asarray(z_sym32 if bool(z_overflow) else z_sym8)
         z_strings = self.eb_coder.compress_symbols(z_sym)
+        if probe is not None:
+            probe("z_rans", None)
 
         return {
             "strings": [[y_string], z_strings],
@@ -692,9 +861,11 @@ class Codec:
 
     # -- decompress ----------------------------------------------------------
 
-    def decompress(self, strings: Sequence, shape) -> Dict[str, Any]:
+    def decompress(self, strings: Sequence, shape, probe=None) -> Dict[str, Any]:
         y_strings, z_strings = strings[0], strings[1]
         z_hat = jnp.asarray(self.eb_coder.decompress(z_strings, shape))
+        if probe is not None:
+            probe("z_decode", z_hat)
         up = self.model.hyper_upsample
         y_shape = (shape[0] * up, shape[1] * up)
 
@@ -718,7 +889,7 @@ class Codec:
                 )
             if self.fused:
                 x_hat = self._fused_decompress(
-                    z_hat, y_shape, subs, segments, enc_hashes
+                    z_hat, y_shape, subs, segments, enc_hashes, probe=probe
                 )
                 if x_hat is not None:
                     return {"x_hat": x_hat}

@@ -1,0 +1,135 @@
+"""Packed 12-bit (q, idx) encode drain (`Codec._quantize_packed`).
+
+The host entropy coder consumes (symbols, indexes); draining them as
+int8+uint8 costs 2 B/symbol over the device->host link. The packed drain
+ships the same integers in 1.5 B/symbol (6-bit idx + 6-bit biased q,
+bit-packed on device, unpacked on host). The invariant: the bitstream must
+be BYTE-IDENTICAL to the unpacked drain's in every case, including the
+per-slice fallback when some |q| > 31.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from stf_tpu.models import Codec, WACNN
+from stf_tpu.models.codec import _unpack12
+from stf_tpu.training import create_train_state
+
+SMALL = dict(N=32, M=40, num_slices=4, max_support_slices=2)
+
+
+@pytest.fixture(scope="module")
+def small_model_state():
+    model = WACNN(**SMALL)
+    state = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+    )
+    return model, state
+
+
+def test_unpack12_roundtrip_host_math():
+    """_unpack12 inverts the device packing layout, odd n included."""
+    rng = np.random.default_rng(0)
+    for n in (1, 7, 128, 1001):
+        q = rng.integers(-32, 32, n).astype(np.int32)
+        idx = rng.integers(0, 64, n).astype(np.int32)
+        v = ((q + 32) << 6) | idx
+        m = n + (n & 1)
+        v_pad = np.concatenate([v, np.zeros(m - n, np.int32)])
+        lo = (v_pad & 0xFF).astype(np.uint8)
+        hi = (v_pad >> 8).reshape(-1, 2)
+        hib = (hi[:, 0] | (hi[:, 1] << 4)).astype(np.uint8)
+        packed = np.concatenate([lo, hib])
+        sym_out, idx_out = _unpack12(packed, n)
+        np.testing.assert_array_equal(sym_out, q)
+        np.testing.assert_array_equal(idx_out, idx.astype(np.uint8))
+
+
+def test_quantize_packed_matches_quantize(small_model_state):
+    """The packed program's q32/q8/overflow match the unpacked program,
+    and the packed buffer unpacks to the same (q, idx)."""
+    model, state = small_model_state
+    codec = Codec(model, state.params)
+    assert codec._pack_drain
+
+    rng = np.random.default_rng(1)
+    y = rng.normal(0, 3.0, (2, 8, 8, 10)).astype(np.float32)
+    mu = rng.normal(0, 0.5, y.shape).astype(np.float32)
+    idx = rng.integers(0, 64, y.shape).astype(np.uint8)
+
+    q32_u, q8_u, ovf_u = codec._quantize(y, mu)
+    q32_p, packed, fits, q8_p, ovf_p = codec._quantize_packed(y, mu, idx)
+    np.testing.assert_array_equal(np.asarray(q32_u), np.asarray(q32_p))
+    np.testing.assert_array_equal(np.asarray(q8_u), np.asarray(q8_p))
+    assert bool(ovf_u) == bool(ovf_p)
+    assert bool(fits)  # sigma=3 stays far inside [-32, 31]
+    sym, idx_out = _unpack12(np.asarray(packed), int(np.prod(y.shape)))
+    np.testing.assert_array_equal(sym, np.asarray(q32_u).reshape(-1))
+    np.testing.assert_array_equal(idx_out, idx.reshape(-1))
+
+    # out-of-range q flips fits off (per-slice fallback trigger)
+    y_big = y.copy()
+    y_big[0, 0, 0, 0] = 60.0
+    _, _, fits_big, _, _ = codec._quantize_packed(y_big, mu, idx)
+    assert not bool(fits_big)
+
+
+def test_packed_stream_byte_identical(small_model_state):
+    """End to end: packed and unpacked drains must produce the same
+    bitstream and reconstruction on both entropy backends."""
+    model, state = small_model_state
+    x = np.asarray(jax.random.uniform(jax.random.key(5), (2, 64, 64, 3)))
+    for coder in ("host", "lane"):
+        packed = Codec(model, state.params, coder=coder)
+        plain = Codec(model, state.params, coder=coder, pack_drain=False)
+        assert packed._pack_drain and not plain._pack_drain
+        enc_p = packed.compress(x)
+        enc_u = plain.compress(x)
+        assert enc_p["strings"][0][0] == enc_u["strings"][0][0]
+        assert enc_p["strings"][1] == enc_u["strings"][1]
+        dec = packed.decompress(enc_p["strings"], enc_p["shape"])
+        dec_u = plain.decompress(enc_u["strings"], enc_u["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec["x_hat"]), np.asarray(dec_u["x_hat"])
+        )
+
+
+def test_packed_fallback_byte_identical(small_model_state):
+    """When a slice's q leaves [-32, 31] the packed codec falls back to
+    the int8/int32 drain for that slice; streams still match the
+    unpacked codec's exactly."""
+    model, state = small_model_state
+    packed = Codec(model, state.params, coder="host")
+    plain = Codec(model, state.params, coder="host", pack_drain=False)
+
+    x = np.asarray(
+        jax.random.uniform(jax.random.key(9), (1, 64, 64, 3))
+    )
+
+    # amplify y 40x so residuals overflow 6 bits (same scaling on both
+    # sides, so the encoders still walk identical symbols)
+    for c in (packed, plain):
+        orig = c._analyze
+
+        def scaled(p, xx, _orig=orig):
+            y, z = _orig(p, xx)
+            return y * 40.0, z
+
+        c._analyze = scaled
+
+    # record the fits flags to prove the fallback actually fired
+    fits_seen = []
+    orig_qp = packed._quantize_packed
+
+    def recording_qp(y, mu, idx):
+        out = orig_qp(y, mu, idx)
+        fits_seen.append(out[2])
+        return out
+
+    packed._quantize_packed = recording_qp
+
+    enc_p = packed.compress(x)
+    enc_u = plain.compress(x)
+    assert any(not bool(f) for f in fits_seen)
+    assert enc_p["strings"][0][0] == enc_u["strings"][0][0]
