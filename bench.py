@@ -248,7 +248,7 @@ def bench_model(model_name: str, attribution: bool = True):
     # warm-up: compile every program in the enc+dec path
     out = codec.compress(batch)
     codec.decompress(out["strings"], out["shape"])
-    y_bytes = len(out["strings"][0][0])
+    y_bytes = sum(len(s) for s in out["strings"][0])
     bpp = (
         (y_bytes + sum(len(s) for s in out["strings"][1]))
         * 8 / (n_images * 512 * 768)

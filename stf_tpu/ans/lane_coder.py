@@ -339,6 +339,16 @@ def pack_lane_stream(segments) -> bytes:
     return b"".join(head + body)
 
 
+def fixed_overhead_bytes(n_segments: int) -> int:
+    """Bytes of fixed per-segment framing in a packed lane stream — the
+    format word, per-segment metadata, and the G*K lane init states — the
+    part that doesn't scale with content entropy. The lane format trades
+    this constant (~4.2 KB/segment) for one-dispatch device decode;
+    subtract it from the stream length for a host-equivalent rate
+    estimate (RD curves should use the host backend directly)."""
+    return 8 + n_segments * (4 * (1 + 2 * GROUPS) + 4 * GROUPS * K)
+
+
 def unpack_lane_stream(buf: bytes):
     """Inverse of pack_lane_stream: a list of LaneStream segments.
 

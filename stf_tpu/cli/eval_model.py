@@ -100,16 +100,33 @@ def inference(codec: Codec, xs, warm_shapes: set):
     x_hat_batch = np.asarray(out_dec["x_hat"], np.float32)
     dec_time = (time.time() - start) / n
 
-    # the batch shares one y stream; apportion its bytes per image by
-    # latent area (equal here since shapes match), z streams are per image
-    y_bytes = sum(len(s) for s in out_enc["strings"][0]) / n
+    # host backend: y-streams are PER IMAGE (exact per-image bpp, matching
+    # the reference CLI's batch-1 output contract). lane backend: the batch
+    # shares one throughput-oriented stream — bytes are apportioned
+    # equally (average exact, per-image approximate) and the fixed
+    # per-segment framing share is reported so RD comparisons can account
+    # for it (use the host backend for RD curves).
+    y_list = out_enc["strings"][0]
     z_bytes = [len(s) for s in out_enc["strings"][1]]
+    lane_overhead = 0.0
+    if len(y_list) == n:
+        y_bytes = [len(s) for s in y_list]
+    else:
+        from ..ans.lane_coder import fixed_overhead_bytes
+
+        total = sum(len(s) for s in y_list)
+        y_bytes = [total / n] * n
+        S = codec.model.num_slices
+        K = len(codec._sub_batches(n))
+        lane_overhead = (
+            4 + 4 * S * K + fixed_overhead_bytes(S * K)
+        ) / n
 
     results = []
     for i, (x, box) in enumerate(zip(xs, boxes)):
         x_hat = unpad(x_hat_batch[i : i + 1], box)
         num_pixels = x.shape[1] * x.shape[2]
-        bpp = (y_bytes + z_bytes[i]) * 8.0 / num_pixels
+        bpp = (y_bytes[i] + z_bytes[i]) * 8.0 / num_pixels
         mse = float(np.mean((x - x_hat) ** 2))
         rv = {
             "psnr": -10 * math.log10(mse),
@@ -120,6 +137,8 @@ def inference(codec: Codec, xs, warm_shapes: set):
             "encoding_time": enc_time,
             "decoding_time": dec_time,
         }
+        if lane_overhead:
+            rv["lane_framing_bpp"] = lane_overhead * 8.0 / num_pixels
         if cold_enc is not None:
             rv["first_use_encoding_time"] = cold_enc
             rv["first_use_decoding_time"] = cold_dec
@@ -266,9 +285,10 @@ def setup_args():
         choices=("host", "lane"),
         default="host",
         help="y-latent entropy backend: 'host' = reference-contract CPU "
-        "rANS; 'lane' = TPU-resident interleaved rANS with one-dispatch "
-        "fused decompress (fastest on TPU; framework-defined stream "
-        "layout)",
+        "rANS with per-image streams (use this for RD curves); 'lane' = "
+        "TPU-resident interleaved rANS with one-dispatch fused decompress "
+        "(fastest on TPU; throughput mode — its bpp includes fixed "
+        "per-segment framing, reported as lane_framing_bpp)",
     )
     p.add_argument(
         "--profile-dir",

@@ -49,6 +49,19 @@ def _bucket(rows: int, minimum: int = 8) -> int:
 _HASH_MUL = np.uint64(2654435761)
 _HASH_ADD = np.uint64(97531)
 
+# Lane y-stream codec header (u32, ahead of the per-segment idx hashes):
+# upper 24 bits magic, low byte flags. Bit 0 marks a stream whose scale
+# indexes were derived by the FUSED encode program (the lockstep anchor is
+# that executable, not the per-slice walk) — decoders must verify their
+# own derived indexes against the stream hashes before trusting a decode.
+_LANE_HEADER_MAGIC = 0x4C414E00
+_LANE_FLAG_FUSED_ENC = 0x01
+
+
+class _LaneSideOverflow(Exception):
+    """A fused-encode segment overflowed its escape side channel (or hit a
+    >=2^24 escape value); the caller retries with the per-slice walk."""
+
 
 def _idx_hash_host(idx_np: np.ndarray) -> int:
     """Position-weighted hash of a scale-index array, mod 2^32. The device
@@ -95,10 +108,12 @@ class Codec:
     `pipeline` > 1 splits a multi-image batch into that many sub-batches
     whose channel-AR walks interleave: while one sub-batch's decoded
     symbols cross the host boundary and run through rANS, the others'
-    device programs and transfers are in flight. Symbols are written in
-    (slice, sub-batch) order, so the same `pipeline` value must be used to
-    decode a stream that was encoded with it (it is part of the stream
-    layout, like `num_slices`).
+    device programs and transfers are in flight. Host-coder y-streams are
+    PER IMAGE (each image's slices in 0..S-1 order), so the host stream
+    layout is independent of `pipeline` and of the batch it was encoded
+    in. The LANE stream keeps (slice, sub-batch) segments — decoding it
+    requires the same `pipeline` value (part of the stream layout, like
+    `num_slices`).
     """
 
     def __init__(
@@ -110,6 +125,7 @@ class Codec:
         dtype=None,
         coder: str = "host",
         device_encode: bool = False,
+        fused_encode: bool = False,
         pack_drain: Optional[bool] = None,
         analyze_chunks: int = 1,
         synth_chunks: int = 1,
@@ -142,6 +158,20 @@ class Codec:
         # (PERF.md). Turn on to offload entropy coding from host CPUs
         # (serving farms) or when the host link is the bottleneck.
         self.device_encode = bool(device_encode)
+        # fused_encode=True (lane only) runs the ENTIRE encode walk —
+        # hyper-conditioned slice transforms, quantization, and the
+        # reverse-rANS encode kernels — as ONE jitted program: ~2 program
+        # dispatches per slice collapse into 1 total, and only
+        # stream-sized bytes cross device->host (the walk is
+        # dispatch-latency-bound through a tunneled link, PERF.md). The
+        # lockstep anchor moves to the fused executable: streams carry the
+        # _LANE_FLAG_FUSED_ENC header bit and every decoder path verifies
+        # its derived scale indexes against the stream's hashes (the fused
+        # decoder already did; the per-slice fallback then does too) and
+        # fails loudly on mismatch instead of desyncing. Escape-channel
+        # overflow (or a huge batch) transparently retries with the
+        # per-slice anchor.
+        self.fused_encode = bool(fused_encode) and coder == "lane"
         # lane decompress runs the ENTIRE walk (hyper -> S slices x decode
         # kernel -> synthesis) as ONE jitted program — one dispatch instead
         # of ~2 per slice. Correctness: the fused program is a different
@@ -378,6 +408,7 @@ class Codec:
             self._stack_fn = jax.jit(
                 lambda cs, hs: (jnp.stack(cs), jnp.stack(hs))
             )
+            self._hash_fn = jax.jit(_idx_hash_dev)
             self._gather_cache: Dict = {}
         return True
 
@@ -572,6 +603,187 @@ class Codec:
         )
         return None
 
+    def _fused_encode_build(self, subs, uint8_in, x_shape):
+        """Build (or fetch) the one-dispatch lane ENCODE program: x ->
+        (z symbol copies, per-segment encode-kernel banks, one packed i32
+        meta vector holding every segment's counts + idx hashes + the z
+        overflow flag). The entire encode walk — analyze, z quantization,
+        hyper synthesis, the channel-AR chain, quantization, and the
+        reverse-rANS encode kernels — traces into ONE XLA executable, so a
+        dispatch-latency-bound link pays one round trip instead of ~2 per
+        slice. Mirrors `_fused_decode_fn` (the decode twin)."""
+        from ..ans import lane_coder as lc
+
+        key = ("enc", tuple(subs), uint8_in, x_shape,
+               self.analyze_chunks)
+        fn = self._lane_fused_cache.get(key)
+        if fn is not None:
+            return fn
+
+        model = self.model
+        S = model.num_slices
+        k_supp = model.max_support_slices
+        K_subs = len(subs)
+        table = jnp.asarray(self.scale_table)
+        idx_dtype = self._idx_dtype
+        interpret = jax.default_backend() != "tpu"
+        pad_sym = int(self.lane_tables.offsets[0])
+        medians = jnp.asarray(self.eb_coder.medians)
+        chunked_apply = self._chunked_apply
+        analyze_chunks = self.analyze_chunks
+        dtype = self.dtype
+
+        def fn(params, x, cdf, lens, offs):
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0
+            y, z = chunked_apply(
+                params, x.astype(dtype), analyze_chunks, "analyze"
+            )
+            z32 = z.astype(jnp.float32)
+            z_sym32 = jnp.round(z32 - medians).astype(jnp.int32)
+            z_sym8 = jnp.clip(z_sym32, -128, 127).astype(jnp.int8)
+            z_overflow = jnp.any(z_sym32 != z_sym8.astype(jnp.int32))
+            z_hat = z_sym32.astype(jnp.float32) + medians
+            y_shape = (y.shape[1], y.shape[2])
+            lm_all, ls_all = model.apply(
+                {"params": params}, z_hat, y_shape,
+                method="hyper_synthesize",
+            )
+            bounds = model.slice_boundaries(y.shape[-1])
+            banks: Dict = {}
+            hashes: Dict = {}
+            for k, (lo, hi) in enumerate(subs):
+                lm, ls = lm_all[lo:hi], ls_all[lo:hi]
+                y_slices = jnp.split(y[lo:hi], bounds, axis=-1)
+                y_hat_slices: List = []
+
+                def support():
+                    return tuple(
+                        y_hat_slices if k_supp < 0
+                        else y_hat_slices[:k_supp]
+                    )
+
+                mu, idx = model.apply(
+                    {"params": params}, 0, lm, ls, (), table,
+                    method="decode_slice_indexes",
+                )
+                for i in range(S):
+                    idx_q = idx.astype(idx_dtype)
+                    hashes[(i, k)] = _idx_hash_dev(idx_q)
+                    q32 = jnp.round(y_slices[i] - mu).astype(jnp.int32)
+                    n = int(np.prod(y_slices[i].shape))
+                    banks[(i, k)] = lc.lane_encode_device(
+                        q32, idx_q, cdf, lens, offs, n, pad_sym,
+                        interpret=interpret,
+                    )
+                    if i < S - 1:
+                        y_prev, mu, idx = model.apply(
+                            {"params": params}, i + 1, lm, ls, support(),
+                            mu, q32, table, method="decode_slice_fused",
+                        )
+                        y_hat_slices.append(y_prev)
+            keys = sorted(banks)
+            # one i32 vector holding everything compress() must block on:
+            # per-segment (G, 128) counts, per-segment idx hashes, and the
+            # z overflow flag — fetched in a single device->host transfer
+            meta = jnp.concatenate(
+                [banks[key][3].reshape(-1) for key in keys]
+                + [jax.lax.bitcast_convert_type(
+                    jnp.stack([hashes[key] for key in keys]), jnp.int32
+                )]
+                + [z_overflow.astype(jnp.int32).reshape(1)]
+            )
+            out_banks = [banks[key][:3] for key in keys]
+            return z_sym32, z_sym8, out_banks, meta
+
+        fn = jax.jit(fn)
+        self._lane_fused_cache[key] = fn
+        return fn
+
+    def _compress_fused(self, x, probe=None) -> Optional[Dict[str, Any]]:
+        """One-dispatch encode walk (lane coder only). Returns the
+        compressed dict, or None when this input can't ride the fused
+        path (oversized slices for the resident encode kernel, or a rare
+        side-channel/escape overflow — the caller then reruns the
+        per-slice walk, whose host fallback handles anything)."""
+        from ..ans import lane_coder as lc
+
+        # VMEM/HBM guard mirrors the per-slice device_encode path: the
+        # encode kernel keeps word banks resident at ~4 B/symbol.
+        # eval_shape gives the latent geometry without running anything.
+        skey = ("shapes", x.shape[1:3])
+        shapes = self._lane_fused_cache.get(skey)
+        if shapes is None:
+            y_sds, z_sds = jax.eval_shape(
+                lambda p, xs: self.model.apply(
+                    {"params": p}, xs, method="analyze"
+                ),
+                self.params,
+                jax.ShapeDtypeStruct((1,) + tuple(x.shape[1:]), jnp.float32),
+            )
+            shapes = (y_sds.shape[1:], z_sds.shape[1:3])
+            self._lane_fused_cache[skey] = shapes
+        (yh, yw, ym), z_sd = shapes
+        subs = self._sub_batches(x.shape[0])
+        step = subs[0][1] - subs[0][0]
+        bounds = self.model.slice_boundaries(ym)
+        widths = np.diff([0] + list(bounds) + [ym])
+        if int(step * yh * yw * widths.max()) > 2_000_000:
+            return None
+
+        if probe is None:
+            x_dev = jnp.asarray(x)
+        else:
+            x_dev = jax.device_put(x)
+            probe("upload", x_dev)
+        uint8_in = x_dev.dtype == jnp.uint8
+        fn = self._fused_encode_build(tuple(subs), uint8_in, x_dev.shape)
+        z_sym32, z_sym8, out_banks, meta = fn(
+            self.params, x_dev, *self._lane_dev_tables
+        )
+        self._start_transfer(z_sym8)
+        self._start_transfer(meta)
+
+        S = self.model.num_slices
+        K = len(subs)
+        G = lc.GROUPS
+        meta_np = np.asarray(meta)
+        counts_sz = S * K * G * 128
+        counts_all = meta_np[:counts_sz].reshape(S * K, G, 128)
+        hash_all = meta_np[counts_sz: counts_sz + S * K].view(np.uint32)
+        z_overflow = bool(meta_np[-1])
+        if probe is not None:
+            probe("fused_encode_walk", None)
+
+        keys = sorted((i, k) for i in range(S) for k in range(K))
+        pending = {}
+        for j, key in enumerate(keys):
+            i, k = key
+            lo, hi = subs[k]
+            shape = (hi - lo, yh, yw, int(widths[i]))
+            words, side, states = out_banks[j]
+            pending[key] = (
+                "dev", shape, None, None, words, side, states,
+                counts_all[j], int(hash_all[j]),
+            )
+        try:
+            y_string = self._build_lane_stream(
+                pending, flags=_LANE_FLAG_FUSED_ENC
+            )
+        except _LaneSideOverflow:
+            return None
+        if probe is not None:
+            probe("entropy", None)
+
+        z_sym = np.asarray(z_sym32 if z_overflow else z_sym8)
+        z_strings = self.eb_coder.compress_symbols(z_sym)
+        if probe is not None:
+            probe("z_rans", None)
+        return {
+            "strings": [[y_string], z_strings],
+            "shape": (z_sd[0], z_sd[1]),
+        }
+
     def _lane_rv(self, idx, words_dev, side_dev, states_dev):
         """Decode one lane-rANS segment on device: (idx-shaped int32
         symbols). jit-cached per (idx shape, stream bucket shapes)."""
@@ -596,7 +808,7 @@ class Codec:
         return fn(idx, words_dev, side_dev, states_dev,
                   *self._lane_dev_tables)
 
-    def _build_lane_stream(self, pending) -> bytes:
+    def _build_lane_stream(self, pending, flags: int = 0) -> bytes:
         """Assemble the lane y-stream from the walk's pending entries.
 
         "dev" entries hold resident kernel outputs: one stacked counts
@@ -605,6 +817,9 @@ class Codec:
         side-channel-overflow flag (or a "host" entry) re-encodes that
         segment with the native host encoder from the same symbols — the
         two encoders are bit-exact, so mixing is invisible to decoders.
+        Fused-encode dev entries carry pre-fetched numpy counts/hashes and
+        no symbols; their side overflow raises `_LaneSideOverflow` so the
+        caller can retry with the per-slice walk.
         """
         from ..ans import lane_coder as lc
 
@@ -612,14 +827,22 @@ class Codec:
         dev_keys = [key for key in keys if pending[key][0] == "dev"]
         counts_np: Dict = {}
         hash_np: Dict = {}
-        if dev_keys:
+        fetch_keys = []
+        for key in dev_keys:
+            ent = pending[key]
+            if isinstance(ent[7], np.ndarray):
+                counts_np[key] = ent[7]
+                hash_np[key] = int(ent[8])
+            else:
+                fetch_keys.append(key)
+        if fetch_keys:
             counts_st, hashes_st = self._stack_fn(
-                [pending[key][6] for key in dev_keys],
-                [pending[key][7] for key in dev_keys],
+                [pending[key][7] for key in fetch_keys],
+                [pending[key][8] for key in fetch_keys],
             )
             counts_all = np.asarray(counts_st)
             hash_all = np.asarray(hashes_st)
-            for j, key in enumerate(dev_keys):
+            for j, key in enumerate(fetch_keys):
                 counts_np[key] = counts_all[j]
                 hash_np[key] = int(hash_all[j])
 
@@ -629,7 +852,7 @@ class Codec:
         ]
         groups: Dict = {}
         for key in ok_keys:
-            n = int(np.prod(pending[key][1].shape))
+            n = int(np.prod(pending[key][1]))
             groups.setdefault(lc.encode_caps(n), []).append(key)
         tails: Dict = {}
         for (tg, wcap_rows, scap_rows), gkeys in groups.items():
@@ -655,9 +878,9 @@ class Codec:
                 tg, wcap_rows, scap_rows, wb, sb, len(gkeys)
             )
             w_st, s_st, st_st = fn(
-                [pending[key][3] for key in gkeys],
                 [pending[key][4] for key in gkeys],
                 [pending[key][5] for key in gkeys],
+                [pending[key][6] for key in gkeys],
             )
             for a in (w_st, s_st, st_st):
                 self._start_transfer(a)
@@ -679,7 +902,7 @@ class Codec:
                         np.asarray(st_st),
                     )
                 w_np, s_np, st_np = tail_np[id(w_st)]
-                n = int(np.prod(ent[1].shape))
+                n = int(np.prod(ent[1]))
                 segments.append(lc.assemble_from_tails(
                     w_np[j], s_np[j], st_np[j], counts_np[key], n
                 ))
@@ -687,8 +910,12 @@ class Codec:
                 continue
             # host fallback: overflow-flagged dev segment or host entry
             if ent[0] == "dev":
-                q_np = np.asarray(ent[1]).reshape(-1)
-                idx_np = np.asarray(ent[2]).reshape(-1)
+                if ent[2] is None:
+                    # fused-encode program keeps no symbols on device;
+                    # the caller re-runs the per-slice walk
+                    raise _LaneSideOverflow(key)
+                q_np = np.asarray(ent[2]).reshape(-1)
+                idx_np = np.asarray(ent[3]).reshape(-1)
                 hashes.append(hash_np[key])
             else:
                 q_np, idx_np = sym_idx[key]
@@ -699,7 +926,8 @@ class Codec:
                 self.lane_tables,
             ))
         return (
-            np.asarray(hashes, "<u4").tobytes()
+            np.asarray([_LANE_HEADER_MAGIC | (flags & 0xFF)], "<u4").tobytes()
+            + np.asarray(hashes, "<u4").tobytes()
             + lc.pack_lane_stream(segments)
         )
 
@@ -762,6 +990,10 @@ class Codec:
         called at phase boundaries (upload/analyze/hyper/walk/drain/rans).
         A probe that synchronizes on `arr` serializes the pipeline — use
         it for attribution runs, never inside the timed path."""
+        if self.fused_encode:
+            out = self._compress_fused(x, probe=probe)
+            if out is not None:
+                return out
         if probe is None:
             x_dev = jnp.asarray(x)
         else:
@@ -806,7 +1038,8 @@ class Codec:
                         )
                     )
                     pending[(i, k)] = (
-                        "dev", q32, idx, words, side, states, counts, h
+                        "dev", y_slices[i].shape, q32, idx,
+                        words, side, states, counts, h,
                     )
                     return q32
                 if self._pack_drain:
@@ -827,25 +1060,40 @@ class Codec:
             self._walk_slices(lm, ls, get_symbols)
 
         if probe is not None:
-            probe("walk", pending[max(pending)][1])
+            ent = pending[max(pending)]
+            probe("walk", ent[2] if ent[0] == "dev" else ent[1])
 
         # (slice, sub-batch) order — must match the decoder's read order
         if self.coder == "lane":
-            y_string = self._build_lane_stream(pending)
+            y_strings_out = [self._build_lane_stream(pending)]
             if probe is not None:
                 probe("entropy", None)
         else:
+            # PER-IMAGE host y-streams: image b's stream holds its slices
+            # in 0..S-1 order, exactly the bytes a batch-1 encode of that
+            # image produces — so batched eval reports exact per-image bpp
+            # (reference contract: `eval_model/__main__.py:117-125`), and
+            # the host stream layout no longer depends on `pipeline`.
             cdf, lengths, offsets = self.gc_coder.tables.astuple()
             sym_idx = self._pending_symbols(pending)
             if probe is not None:
                 probe("drain", None)
-            encoder = BufferedRansEncoder()
+            subs = self._sub_batches(y.shape[0])
+            encoders = [
+                BufferedRansEncoder() for _ in range(y.shape[0])
+            ]
             for key in sorted(pending):
+                _, k = key
+                lo, hi = subs[k]
                 sym_np, idx_np = sym_idx[key]
-                encoder.encode_with_indexes(
-                    sym_np, idx_np, cdf, lengths, offsets
-                )
-            y_string = encoder.flush()
+                per = sym_np.size // (hi - lo)
+                sym2 = sym_np.reshape(hi - lo, per)
+                idx2 = idx_np.reshape(hi - lo, per)
+                for b in range(hi - lo):
+                    encoders[lo + b].encode_with_indexes(
+                        sym2[b], idx2[b], cdf, lengths, offsets
+                    )
+            y_strings_out = [e.flush() for e in encoders]
             if probe is not None:
                 probe("rans", None)
 
@@ -855,7 +1103,7 @@ class Codec:
             probe("z_rans", None)
 
         return {
-            "strings": [[y_string], z_strings],
+            "strings": [y_strings_out, z_strings],
             "shape": (z_hat.shape[1], z_hat.shape[2]),
         }
 
@@ -875,13 +1123,22 @@ class Codec:
         S = self.model.num_slices
         k_supp = self.model.max_support_slices
 
+        fused_enc = False
         if self.coder == "lane":
             from ..ans import lane_coder as lc
 
+            header = int(np.frombuffer(y_strings[0][:4], "<u4")[0])
+            if (header & 0xFFFFFF00) != _LANE_HEADER_MAGIC:
+                raise ValueError(
+                    f"lane y-stream header 0x{header:08x} does not carry "
+                    f"magic 0x{_LANE_HEADER_MAGIC:08x} (stream from an "
+                    "older build, or not a lane stream)"
+                )
+            fused_enc = bool(header & _LANE_FLAG_FUSED_ENC)
             enc_hashes = np.frombuffer(
-                y_strings[0][: 4 * S * K], "<u4"
+                y_strings[0][4: 4 + 4 * S * K], "<u4"
             ).copy()
-            segments = lc.unpack_lane_stream(y_strings[0][4 * S * K:])
+            segments = lc.unpack_lane_stream(y_strings[0][4 + 4 * S * K:])
             if len(segments) != S * K:
                 raise ValueError(
                     f"lane stream has {len(segments)} segments, expected "
@@ -908,8 +1165,16 @@ class Codec:
                 ))
         else:
             cdf, lengths, offsets = self.gc_coder.tables.astuple()
-            decoder = RansDecoder()
-            decoder.set_stream(y_strings[0])
+            if len(y_strings) != B:
+                raise ValueError(
+                    f"host y-streams are per image: got {len(y_strings)} "
+                    f"streams for a batch of {B}"
+                )
+            decoders = []
+            for s in y_strings:
+                d = RansDecoder()
+                d.set_stream(s)
+                decoders.append(d)
 
         latent_means, latent_scales = self._hyper(self.params, z_hat, y_shape)
         lm = [latent_means[lo:hi] for lo, hi in subs]
@@ -926,6 +1191,12 @@ class Codec:
         # through the host rANS decoder, the other sub-batches' dispatches
         # and index transfers are in flight.
         lane = self.coder == "lane"
+        # A fused-ENCODED stream's indexes anchor to the fused encode
+        # executable, not to these per-slice programs — verify our derived
+        # indexes against the stream's hashes and fail loudly on mismatch
+        # (a desynced rANS read would otherwise return garbage silently).
+        verify = lane and fused_enc
+        dec_hashes: Dict = {}
         for k in range(K):
             mu[k], idx[k] = self._slice_idx(self.params, 0, lm[k], ls[k], ())
             if not lane:
@@ -939,13 +1210,19 @@ class Codec:
                             "lane segment symbol count does not match the "
                             "slice shape"
                         )
+                    if verify:
+                        dec_hashes[(i, k)] = self._hash_fn(idx[k])
                     rv = self._lane_rv(idx[k], words_d, side_d, states_d)
                 else:
                     idx_np = np.asarray(idx[k])
-                    rv = decoder.decode_stream(
-                        idx_np.reshape(-1), cdf, lengths, offsets
-                    )
-                    rv = jnp.asarray(rv.reshape(idx_np.shape))
+                    lo, _ = subs[k]
+                    rv = np.stack([
+                        decoders[lo + b].decode_stream(
+                            idx_np[b].reshape(-1), cdf, lengths, offsets
+                        ).reshape(idx_np.shape[1:])
+                        for b in range(idx_np.shape[0])
+                    ])
+                    rv = jnp.asarray(rv)
                 if i < S - 1:
                     y_prev, mu[k], idx[k] = self._slice_fused(
                         self.params, i + 1, lm[k], ls[k], support(k), mu[k], rv
@@ -960,6 +1237,16 @@ class Codec:
                         )
                     )
 
+        if verify:
+            hvec = np.asarray(self._stack_flags(
+                [dec_hashes[(i, k)] for i in range(S) for k in range(K)]
+            )).astype(np.uint32)
+            if not np.array_equal(hvec, enc_hashes):
+                raise ValueError(
+                    "per-slice decode derived different scale indexes than "
+                    "the stream's fused encoder (lockstep hash mismatch); "
+                    "re-encode with fused_encode=False"
+                )
         y_hat = jnp.concatenate(
             [jnp.concatenate(h, axis=-1) for h in y_hats], axis=0
         )

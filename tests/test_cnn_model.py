@@ -137,6 +137,29 @@ class TestCompressDecompress:
         assert out_enc["strings"][0][0] == out_enc2["strings"][0][0]
         assert out_enc["strings"][1][0] == out_enc2["strings"][1][0]
 
+    def test_per_image_streams_match_batch1(self, small_model_state):
+        """Host y-streams are per image: a batched encode must emit, for
+        each image, a y-stream over that image's symbols alone — so
+        batched eval reports exact per-image bpp (the reference CLI's
+        batch-1 output contract, `eval_model/__main__.py:117-125`). With
+        identical per-image symbols/indexes the bytes match batch-1
+        encodes exactly."""
+        model, state = small_model_state
+        codec = Codec(model, state.params)
+        x = np.asarray(
+            jax.random.uniform(jax.random.key(17), (3, 64, 64, 3))
+        )
+        enc_b = codec.compress(x)
+        assert len(enc_b["strings"][0]) == 3  # one y-stream per image
+        assert len(enc_b["strings"][1]) == 3
+        for i in range(3):
+            enc_1 = codec.compress(x[i : i + 1])
+            assert enc_1["strings"][0][0] == enc_b["strings"][0][i]
+            assert enc_1["strings"][1][0] == enc_b["strings"][1][i]
+        # and the batched streams decode to the batched walk's exact y_hat
+        dec = codec.decompress(enc_b["strings"], enc_b["shape"])
+        assert np.asarray(dec["x_hat"]).shape == x.shape
+
     def test_pipelined_codec_roundtrip(self, small_model_state):
         """pipeline=2 interleaves two sub-batch walks; the reconstruction
         must match the non-pipelined decode closely (different sub-batch

@@ -206,7 +206,7 @@ class TestLaneCodec:
         x = np.asarray(jax.random.uniform(jax.random.key(11), (1, 64, 64, 3)))
         enc = lane.compress(x)
         y = bytearray(enc["strings"][0][0])
-        y[0] ^= 0xFF  # first segment's idx hash
+        y[4] ^= 0xFF  # first segment's idx hash (after the header word)
         bad = [[bytes(y)], enc["strings"][1]]
 
         with pytest.warns(RuntimeWarning, match="falling back"):
@@ -216,6 +216,63 @@ class TestLaneCodec:
         np.testing.assert_array_equal(
             np.asarray(dec_fb["x_hat"]), np.asarray(dec_walk["x_hat"])
         )
+
+    def test_fused_encode_stream_identical(self, small_model_state):
+        """fused_encode=True collapses the whole encode walk into one
+        program. Its stream must be byte-identical to the per-slice lane
+        encoder's (modulo the header's fused-enc flag bit), and both
+        decoder paths must accept it (hash verification passes)."""
+        import warnings
+
+        model, state = small_model_state
+        lane = Codec(model, state.params, coder="lane")
+        fused = Codec(model, state.params, coder="lane", fused_encode=True)
+        x = np.asarray(jax.random.uniform(jax.random.key(21), (2, 64, 64, 3)))
+        enc = lane.compress(x)
+        enc_f = fused.compress(x)
+        assert enc_f["shape"] == enc["shape"]
+        assert enc_f["strings"][1] == enc["strings"][1]  # same z stream
+        y, y_f = enc["strings"][0][0], enc_f["strings"][0][0]
+        assert y_f[0] & 0x01  # _LANE_FLAG_FUSED_ENC set
+        assert not (y[0] & 0x01)
+        assert y_f[1:] == y[1:]  # identical hashes + segments
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # a fallback warning = failure
+            dec_fused = fused.decompress(enc_f["strings"], enc_f["shape"])
+        fused.fused = False  # per-slice decode path, verify-mode
+        dec_walk = fused.decompress(enc_f["strings"], enc_f["shape"])
+        np.testing.assert_allclose(
+            np.asarray(dec_fused["x_hat"], np.float32),
+            np.asarray(dec_walk["x_hat"], np.float32),
+            atol=1e-5, rtol=1e-5,
+        )
+
+    def test_fused_encode_bad_hash_fails_loudly(self, small_model_state):
+        """A fused-encoded stream whose hashes don't match what the
+        per-slice decoder derives must raise, not desync silently."""
+        model, state = small_model_state
+        fused = Codec(model, state.params, coder="lane", fused_encode=True)
+        x = np.asarray(jax.random.uniform(jax.random.key(22), (1, 64, 64, 3)))
+        enc = fused.compress(x)
+        y = bytearray(enc["strings"][0][0])
+        y[4] ^= 0xFF  # first segment's idx hash
+        bad = [[bytes(y)], enc["strings"][1]]
+        fused.fused = False  # force the per-slice verify path
+        with pytest.raises(ValueError, match="hash mismatch"):
+            fused.decompress(bad, enc["shape"])
+
+    def test_lane_header_magic_checked(self, small_model_state):
+        """A stream without the codec header magic (e.g. from an older
+        build) must be rejected up front."""
+        model, state = small_model_state
+        lane = Codec(model, state.params, coder="lane")
+        x = np.asarray(jax.random.uniform(jax.random.key(23), (1, 64, 64, 3)))
+        enc = lane.compress(x)
+        y = bytearray(enc["strings"][0][0])
+        y[2] ^= 0x40  # clobber a magic byte
+        with pytest.raises(ValueError, match="magic"):
+            lane.decompress([[bytes(y)], enc["strings"][1]], enc["shape"])
 
     def test_bf16_lane_matches_bf16_host(self, small_model_state):
         """The bench's exact configuration (bf16 transforms + lane

@@ -86,7 +86,7 @@ def test_packed_stream_byte_identical(small_model_state):
         assert packed._pack_drain and not plain._pack_drain
         enc_p = packed.compress(x)
         enc_u = plain.compress(x)
-        assert enc_p["strings"][0][0] == enc_u["strings"][0][0]
+        assert enc_p["strings"][0] == enc_u["strings"][0]
         assert enc_p["strings"][1] == enc_u["strings"][1]
         dec = packed.decompress(enc_p["strings"], enc_p["shape"])
         dec_u = plain.decompress(enc_u["strings"], enc_u["shape"])
@@ -132,4 +132,4 @@ def test_packed_fallback_byte_identical(small_model_state):
     enc_p = packed.compress(x)
     enc_u = plain.compress(x)
     assert any(not bool(f) for f in fits_seen)
-    assert enc_p["strings"][0][0] == enc_u["strings"][0][0]
+    assert enc_p["strings"][0] == enc_u["strings"][0]

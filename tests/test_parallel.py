@@ -96,7 +96,7 @@ def test_data_parallel_codec_eval():
     mesh = create_mesh()
     sharded = shard_batch(batch, mesh)
     enc_dp = codec.compress(sharded)
-    assert enc_dp["strings"][0][0] == enc_ref["strings"][0][0]
+    assert enc_dp["strings"][0] == enc_ref["strings"][0]
     assert enc_dp["strings"][1] == enc_ref["strings"][1]
     dec_dp = codec.decompress(enc_dp["strings"], enc_dp["shape"])
     np.testing.assert_array_equal(
