@@ -227,6 +227,8 @@ def bench_model(model_name: str, attribution: bool = True):
     # rANS + hash-guarded fused decompress); "host" is the
     # reference-contract CPU coder (STF_BENCH_CODER=host to A/B).
     coder = os.environ.get("STF_BENCH_CODER", "lane")
+    # STF_BENCH_FUSED=1 A/Bs the one-dispatch fused encode walk
+    fused_enc = os.environ.get("STF_BENCH_FUSED", "0") == "1"
     # stf's Swin analyze/synthesis at batch 24 x 512x768 exceeds 16 GB HBM
     # (needs 16.24 GB); lax.map chunking inside the jitted transform keeps
     # ONE full-batch codec walk (half the dispatches of splitting the
@@ -234,6 +236,7 @@ def bench_model(model_name: str, attribution: bool = True):
     chunks = {"cnn": 1, "stf": 2}[model_name]
     codec = Codec(
         model, state.params, pipeline=1, dtype=jnp.bfloat16, coder=coder,
+        fused_encode=fused_enc,
         analyze_chunks=chunks, synth_chunks=chunks,
     )
 

@@ -419,6 +419,48 @@ def pack_word_banks(stream: LaneStream, rows: int) -> np.ndarray:
     )
 
 
+def flat_banks(segments, wr: int, sr: int):
+    """Compact H2D form of every segment's decoder inputs: ONE flat int32
+    buffer holding, per segment, each group's word pairs (two LE uint16
+    words per int32 — `pack_word_banks`'s element layout), side values,
+    and init states back to back, plus an (n_seg, 3, GROUPS) int32 offset
+    table (word / side / state start, in int32 elements). The fused
+    decode program rebuilds the kernel's padded (G*rows, K) banks on
+    device with `lax.dynamic_slice`, so H2D traffic is ~stream bytes
+    instead of bucket-padded banks (which inflate ~8x at trained
+    operating points). The buffer ends with max(wr, sr)*K zeros so every
+    fixed-size slice stays in bounds; slice tails read the next group's
+    data, which the kernel's positional one-hot masks never select
+    (consumption stops at each group's written count).
+    """
+    chunks = []
+    offs = np.zeros((len(segments), 3, GROUPS), np.int64)
+    pos = 0
+    for j, seg in enumerate(segments):
+        wb = np.concatenate([[0], np.cumsum(seg.word_counts)])
+        sb = np.concatenate([[0], np.cumsum(seg.side_counts)])
+        for g in range(GROUPS):
+            w = np.asarray(seg.words[wb[g] : wb[g + 1]], "<u2")
+            pad = np.zeros((w.size + 1) // 2 * 2, "<u2")
+            pad[: w.size] = w
+            wi = pad.view("<u4").astype(np.int64).astype(np.int32)
+            chunks.append(wi)
+            offs[j, 0, g] = pos
+            pos += wi.size
+        for g in range(GROUPS):
+            sd = np.asarray(seg.side[sb[g] : sb[g + 1]], np.int32)
+            chunks.append(sd)
+            offs[j, 1, g] = pos
+            pos += sd.size
+        st = np.ascontiguousarray(seg.states, "<u4").view(np.int32)
+        for g in range(GROUPS):
+            offs[j, 2, g] = pos + g * K
+        chunks.append(st.reshape(-1))
+        pos += st.size
+    chunks.append(np.zeros(max(wr, sr) * K, np.int32))
+    return np.concatenate(chunks), offs.astype(np.int32)
+
+
 def pad_side_banks(stream: LaneStream, rows: int) -> np.ndarray:
     """Per-group int32 side channels -> (G*rows, K) int32 banks."""
     out = np.zeros((GROUPS, rows * K), np.int32)

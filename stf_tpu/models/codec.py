@@ -480,12 +480,19 @@ class Codec:
                 )
         return out
 
-    def _fused_decode_fn(self, subs, y_shape, wr, sr, ns):
-        """Build (or fetch) the one-dispatch lane decompress program: z_hat
-        + resident stream banks -> (x_hat, per-segment idx hashes)."""
+    def _fused_decode_fn(self, subs, y_shape, wr, sr, ns, z_is_sym=False):
+        """Build (or fetch) the one-dispatch lane decompress program:
+        z (int8 symbols or f32 z_hat) + ONE compact flat bank buffer ->
+        (x_hat, per-segment idx hashes). Per-segment kernel banks are
+        rebuilt on device with dynamic_slice from the flat buffer
+        (`lane_coder.flat_banks` layout) — the offsets are traced inputs,
+        so per-stream variation never recompiles."""
         from ..ans import lane_coder as lc
 
-        key = (tuple(subs), y_shape, wr, sr, tuple(ns), self.synth_chunks)
+        key = (
+            tuple(subs), y_shape, wr, sr, tuple(ns), self.synth_chunks,
+            z_is_sym,
+        )
         fn = self._lane_fused_cache.get(key)
         if fn is not None:
             return fn
@@ -497,8 +504,33 @@ class Codec:
         table = jnp.asarray(self.scale_table)
         idx_dtype = self._idx_dtype
         interpret = jax.default_backend() != "tpu"
+        medians = jnp.asarray(self.eb_coder.medians)
+        G, KL = lc.GROUPS, lc.K
 
-        def fn(params, z_hat, words, side, states, cdf, lens, offs):
+        def fn(params, z, flat, boffs, cdf, lens, offs):
+            z_hat = (
+                z.astype(jnp.float32) + medians if z_is_sym else z
+            )
+
+            def seg_banks(seg):
+                w = jnp.concatenate([
+                    jax.lax.dynamic_slice(
+                        flat, (boffs[seg, 0, g],), (wr * KL,)
+                    ).reshape(wr, KL)
+                    for g in range(G)
+                ])
+                sd = jnp.concatenate([
+                    jax.lax.dynamic_slice(
+                        flat, (boffs[seg, 1, g],), (sr * KL,)
+                    ).reshape(sr, KL)
+                    for g in range(G)
+                ])
+                st = jnp.stack([
+                    jax.lax.dynamic_slice(flat, (boffs[seg, 2, g],), (KL,))
+                    for g in range(G)
+                ])
+                return w, sd, jax.lax.bitcast_convert_type(st, jnp.uint32)
+
             lm_all, ls_all = model.apply(
                 {"params": params}, z_hat, y_shape, method="hyper_synthesize"
             )
@@ -527,8 +559,9 @@ class Codec:
                             "lane segment symbol count does not match the "
                             "slice shape"
                         )
+                    w_b, s_b, st_b = seg_banks(seg)
                     rv = lc.lane_decode_device(
-                        idx_q, words[seg], side[seg], states[seg],
+                        idx_q, w_b, s_b, st_b,
                         cdf, lens, offs, n, interpret=interpret,
                     ).reshape(idx.shape).astype(jnp.int32)
                     if i < S - 1:
@@ -559,36 +592,47 @@ class Codec:
         return fn
 
     def _fused_decompress(
-        self, z_hat, y_shape, subs, segments, enc_hashes, probe=None
+        self, z_sym, y_shape, subs, segments, enc_hashes, probe=None
     ):
         """One-dispatch lane decompress. Returns x_hat, or None if the
         fused program's idx hashes don't match the stream's (caller then
-        falls back to the lockstep per-slice walk)."""
+        falls back to the lockstep per-slice walk).
+
+        H2D is kept to ~stream bytes: the segments' banks cross as ONE
+        compact flat buffer (+ a tiny offset table) and are rebuilt into
+        the kernel's padded layout on device (`lane_coder.flat_banks`),
+        and z crosses as int8 symbols dequantized in the program (f32
+        fallback for out-of-range symbols, e.g. untrained weights)."""
         from ..ans import lane_coder as lc
 
-        # common buckets across segments so the banks stack into one array
+        # common buckets across segments: the bucket only sizes the
+        # on-device slices now (recompile granularity), not the transfer
         wr = _bucket(max(
             lc.words_rows_for(s.word_counts.max()) for s in segments
         ))
         sr = _bucket(max(
             lc.side_rows_for(s.side_counts.max()) for s in segments
         ))
-        words = jax.device_put(
-            np.stack([lc.pack_word_banks(s, wr) for s in segments])
-        )
-        side = jax.device_put(
-            np.stack([lc.pad_side_banks(s, sr) for s in segments])
-        )
-        states = jax.device_put(
-            np.stack([np.ascontiguousarray(s.states) for s in segments])
-        )
+        flat, boffs = lc.flat_banks(segments, wr, sr)
         if probe is not None:
-            probe("banks_upload", states)
+            probe("banks_pack", None)  # host numpy time, no round trip
+        flat_dev = jax.device_put(flat)
+        boffs_dev = jax.device_put(boffs)
+        z_is_sym = bool(z_sym.min() >= -128 and z_sym.max() <= 127)
+        if z_is_sym:
+            z_dev = jax.device_put(z_sym.astype(np.int8))
+        else:
+            z_dev = jax.device_put(
+                z_sym.astype(np.float32) + self.eb_coder.medians
+            )
+        if probe is not None:
+            probe("z_upload", z_dev)
+            probe("banks_upload", flat_dev)
         fn = self._fused_decode_fn(
-            subs, y_shape, wr, sr, tuple(s.n for s in segments)
+            subs, y_shape, wr, sr, tuple(s.n for s in segments), z_is_sym
         )
         x_hat, hvec = fn(
-            self.params, z_hat, words, side, states, *self._lane_dev_tables
+            self.params, z_dev, flat_dev, boffs_dev, *self._lane_dev_tables
         )
         if np.array_equal(np.asarray(hvec), enc_hashes):
             if probe is not None:
@@ -731,41 +775,52 @@ class Codec:
         if int(step * yh * yw * widths.max()) > 2_000_000:
             return None
 
-        if probe is None:
-            x_dev = jnp.asarray(x)
-        else:
-            x_dev = jax.device_put(x)
-            probe("upload", x_dev)
-        uint8_in = x_dev.dtype == jnp.uint8
-        fn = self._fused_encode_build(tuple(subs), uint8_in, x_dev.shape)
-        z_sym32, z_sym8, out_banks, meta = fn(
-            self.params, x_dev, *self._lane_dev_tables
-        )
-        self._start_transfer(z_sym8)
-        self._start_transfer(meta)
-
         S = self.model.num_slices
-        K = len(subs)
         G = lc.GROUPS
-        meta_np = np.asarray(meta)
-        counts_sz = S * K * G * 128
-        counts_all = meta_np[:counts_sz].reshape(S * K, G, 128)
-        hash_all = meta_np[counts_sz: counts_sz + S * K].view(np.uint32)
-        z_overflow = bool(meta_np[-1])
+
+        # Per-sub-batch dispatches (pipeline>1): sub k+1's image upload
+        # overlaps sub k's fused walk — each sub is ONE dispatch, so the
+        # dispatch-count tax that made pipeline>1 lose on the per-slice
+        # walk (PERF.md round 1) no longer applies. K==1 keeps the single
+        # whole-batch dispatch. The per-sub program is keyed on the sub
+        # shape, so both layouts share the cache across calls.
+        fn = None
+        runs = []  # (z_sym32, z_sym8, out_banks, meta) per sub
+        on_host = not isinstance(x, jax.Array)
+        for lo, hi in subs:
+            x_sub = jax.device_put(x[lo:hi]) if on_host else x[lo:hi]
+            if fn is None:
+                uint8_in = x_sub.dtype == jnp.uint8
+                fn = self._fused_encode_build(
+                    ((0, step),), uint8_in, x_sub.shape
+                )
+            out = fn(self.params, x_sub, *self._lane_dev_tables)
+            self._start_transfer(out[1])
+            self._start_transfer(out[3])
+            runs.append(out)
+        if probe is not None:
+            # attribution: uploads already overlap the dispatches above;
+            # this syncs on the last sub's input (total upload interval)
+            probe("upload", x_sub)
+
+        pending = {}
+        z_overflow = False
+        for k, (lo, hi) in enumerate(subs):
+            meta_np = np.asarray(runs[k][3])
+            counts_sz = S * G * 128
+            counts_all = meta_np[:counts_sz].reshape(S, G, 128)
+            hash_all = meta_np[counts_sz: counts_sz + S].view(np.uint32)
+            z_overflow = z_overflow or bool(meta_np[-1])
+            for i in range(S):
+                shape = (hi - lo, yh, yw, int(widths[i]))
+                words, side, states = runs[k][2][i]
+                pending[(i, k)] = (
+                    "dev", shape, None, None, words, side, states,
+                    counts_all[i], int(hash_all[i]),
+                )
         if probe is not None:
             probe("fused_encode_walk", None)
 
-        keys = sorted((i, k) for i in range(S) for k in range(K))
-        pending = {}
-        for j, key in enumerate(keys):
-            i, k = key
-            lo, hi = subs[k]
-            shape = (hi - lo, yh, yw, int(widths[i]))
-            words, side, states = out_banks[j]
-            pending[key] = (
-                "dev", shape, None, None, words, side, states,
-                counts_all[j], int(hash_all[j]),
-            )
         try:
             y_string = self._build_lane_stream(
                 pending, flags=_LANE_FLAG_FUSED_ENC
@@ -775,7 +830,9 @@ class Codec:
         if probe is not None:
             probe("entropy", None)
 
-        z_sym = np.asarray(z_sym32 if z_overflow else z_sym8)
+        z_sym = np.concatenate([
+            np.asarray(r[0] if z_overflow else r[1]) for r in runs
+        ])
         z_strings = self.eb_coder.compress_symbols(z_sym)
         if probe is not None:
             probe("z_rans", None)
@@ -1111,13 +1168,16 @@ class Codec:
 
     def decompress(self, strings: Sequence, shape, probe=None) -> Dict[str, Any]:
         y_strings, z_strings = strings[0], strings[1]
-        z_hat = jnp.asarray(self.eb_coder.decompress(z_strings, shape))
+        # decode z to raw symbols; dequantization (+ medians) runs on
+        # device in the fused path (int8 crosses the link instead of f32),
+        # on host for the per-slice paths (f32 z_hat as before)
+        z_sym = self.eb_coder.decompress_symbols(z_strings, shape)
         if probe is not None:
-            probe("z_decode", z_hat)
+            probe("z_host_rans", None)  # host-side z decode, no round trip
         up = self.model.hyper_upsample
         y_shape = (shape[0] * up, shape[1] * up)
 
-        B = z_hat.shape[0]
+        B = z_sym.shape[0]
         subs = self._sub_batches(B)
         K = len(subs)
         S = self.model.num_slices
@@ -1139,6 +1199,8 @@ class Codec:
                 y_strings[0][4: 4 + 4 * S * K], "<u4"
             ).copy()
             segments = lc.unpack_lane_stream(y_strings[0][4 + 4 * S * K:])
+            if probe is not None:
+                probe("y_unpack", None)  # host stream parse, no round trip
             if len(segments) != S * K:
                 raise ValueError(
                     f"lane stream has {len(segments)} segments, expected "
@@ -1146,7 +1208,7 @@ class Codec:
                 )
             if self.fused:
                 x_hat = self._fused_decompress(
-                    z_hat, y_shape, subs, segments, enc_hashes, probe=probe
+                    z_sym, y_shape, subs, segments, enc_hashes, probe=probe
                 )
                 if x_hat is not None:
                     return {"x_hat": x_hat}
@@ -1176,6 +1238,11 @@ class Codec:
                 d.set_stream(s)
                 decoders.append(d)
 
+        z_hat = jnp.asarray(
+            z_sym.astype(np.float32) + self.eb_coder.medians
+        )
+        if probe is not None:
+            probe("z_decode", z_hat)
         latent_means, latent_scales = self._hyper(self.params, z_hat, y_shape)
         lm = [latent_means[lo:hi] for lo, hi in subs]
         ls = [latent_scales[lo:hi] for lo, hi in subs]

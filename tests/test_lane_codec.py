@@ -248,6 +248,37 @@ class TestLaneCodec:
             atol=1e-5, rtol=1e-5,
         )
 
+    def test_fused_encode_pipelined_stream_identical(self, small_model_state):
+        """fused_encode with pipeline=2 dispatches one fused program per
+        sub-batch (uploads overlap compute); the stream must still be
+        byte-identical to the per-slice pipeline=2 lane encoder's (modulo
+        the header flag bit) and round-trip through both decoder paths."""
+        import warnings
+
+        model, state = small_model_state
+        lane = Codec(model, state.params, coder="lane", pipeline=2)
+        fused = Codec(
+            model, state.params, coder="lane", pipeline=2, fused_encode=True
+        )
+        x = np.asarray(jax.random.uniform(jax.random.key(31), (4, 64, 64, 3)))
+        enc = lane.compress(x)
+        enc_f = fused.compress(x)
+        assert enc_f["strings"][1] == enc["strings"][1]  # same z streams
+        y, y_f = enc["strings"][0][0], enc_f["strings"][0][0]
+        assert y_f[0] & 0x01 and not (y[0] & 0x01)
+        assert y_f[1:] == y[1:]  # identical hashes + segments
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # a fallback warning = failure
+            dec_fused = fused.decompress(enc_f["strings"], enc_f["shape"])
+        fused.fused = False  # per-slice decode path, verify-mode
+        dec_walk = fused.decompress(enc_f["strings"], enc_f["shape"])
+        np.testing.assert_allclose(
+            np.asarray(dec_fused["x_hat"], np.float32),
+            np.asarray(dec_walk["x_hat"], np.float32),
+            atol=1e-5, rtol=1e-5,
+        )
+
     def test_fused_encode_bad_hash_fails_loudly(self, small_model_state):
         """A fused-encoded stream whose hashes don't match what the
         per-slice decoder derives must raise, not desync silently."""
