@@ -171,7 +171,8 @@ def attribution_pass(codec, batch, n_syms, stream_bytes, flops_analyze,
         "upload": f"{batch.nbytes / 1e6:.1f} MB H2D",
         "drain": f"{drain_bytes / 1e6:.1f} MB D2H",
         "entropy": f"{drain_bytes / 1e6:.1f} MB D2H + native encode",
-        "banks_upload": f"{stream_bytes / 1e6:.2f} MB H2D",
+        # single merged H2D buffer: offset table + int8 z + stream banks
+        "banks_upload": f"~{stream_bytes / 1e6:.2f} MB streams + z H2D",
     }
     if flops_analyze and flops_analyze > 0:
         t_an = dict(enc_marks).get("analyze", 0.0)
@@ -227,16 +228,18 @@ def bench_model(model_name: str, attribution: bool = True):
     # rANS + hash-guarded fused decompress); "host" is the
     # reference-contract CPU coder (STF_BENCH_CODER=host to A/B).
     coder = os.environ.get("STF_BENCH_CODER", "lane")
-    # STF_BENCH_FUSED=1 A/Bs the one-dispatch fused encode walk
+    # STF_BENCH_FUSED=1 A/Bs the one-dispatch fused encode walk;
+    # STF_BENCH_PIPELINE=K overlaps sub-batch uploads with the fused walk
     fused_enc = os.environ.get("STF_BENCH_FUSED", "0") == "1"
+    pipeline = int(os.environ.get("STF_BENCH_PIPELINE", "1"))
     # stf's Swin analyze/synthesis at batch 24 x 512x768 exceeds 16 GB HBM
     # (needs 16.24 GB); lax.map chunking inside the jitted transform keeps
     # ONE full-batch codec walk (half the dispatches of splitting the
     # whole batch in two).
     chunks = {"cnn": 1, "stf": 2}[model_name]
     codec = Codec(
-        model, state.params, pipeline=1, dtype=jnp.bfloat16, coder=coder,
-        fused_encode=fused_enc,
+        model, state.params, pipeline=pipeline, dtype=jnp.bfloat16,
+        coder=coder, fused_encode=fused_enc,
         analyze_chunks=chunks, synth_chunks=chunks,
     )
 

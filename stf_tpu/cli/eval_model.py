@@ -112,10 +112,13 @@ def inference(codec: Codec, xs, warm_shapes: set):
     if len(y_list) == n:
         y_bytes = [len(s) for s in y_list]
     else:
-        from ..ans.lane_coder import fixed_overhead_bytes
-
         total = sum(len(s) for s in y_list)
         y_bytes = [total / n] * n
+    if codec.coder == "lane":
+        # framing is fixed per segment, so it dominates small/batch-1
+        # streams — always report its share for lane RD accounting
+        from ..ans.lane_coder import fixed_overhead_bytes
+
         S = codec.model.num_slices
         K = len(codec._sub_batches(n))
         lane_overhead = (
@@ -178,6 +181,7 @@ def eval_model(
     half=False,
     batch_size=1,
     backend="host",
+    fused_encode=False,
 ):
     if half and entropy_estimation:
         # estimation path has no coder: plain bf16 params are fine
@@ -198,6 +202,7 @@ def eval_model(
         else Codec(
             model, params, coder=backend,
             dtype=jnp.bfloat16 if half else None,
+            fused_encode=fused_encode,
         )
     )
     apply_jit = (
@@ -291,6 +296,14 @@ def setup_args():
         "per-segment framing, reported as lane_framing_bpp)",
     )
     p.add_argument(
+        "--fused-encode",
+        action="store_true",
+        help="lane backend only: trace the whole encode walk (analyze -> "
+        "hyper -> channel-AR -> rANS encode kernels) into ONE program; "
+        "streams are byte-identical (header flag aside), oversized or "
+        "overflowing inputs fall back to the per-slice walk",
+    )
+    p.add_argument(
         "--profile-dir",
         type=str,
         default=None,
@@ -337,6 +350,7 @@ def main(argv=None):
                 half=args.half,
                 batch_size=args.batch_size,
                 backend=args.backend,
+                fused_encode=args.fused_encode,
             )
             for k, v in metrics.items():
                 results[k].append(v)

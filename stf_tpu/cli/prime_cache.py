@@ -83,6 +83,11 @@ def main(argv=None):
         "'lane' also compiles the Pallas decode kernels and the fused "
         "decompress program)",
     )
+    p.add_argument(
+        "--fused-encode", action="store_true",
+        help="prime the one-dispatch fused encode program "
+        "(mirror of eval_model --fused-encode)",
+    )
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -93,7 +98,7 @@ def main(argv=None):
     model, params = load_checkpoint(args.path, args.architecture)
     codec = Codec(
         model, params, dtype=jnp.bfloat16 if args.half else None,
-        coder=args.backend,
+        coder=args.backend, fused_encode=args.fused_encode,
     )
     prime(
         codec,

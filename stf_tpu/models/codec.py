@@ -480,18 +480,23 @@ class Codec:
                 )
         return out
 
-    def _fused_decode_fn(self, subs, y_shape, wr, sr, ns, z_is_sym=False):
+    def _fused_decode_fn(self, subs, y_shape, wr, sr, ns, z_shape,
+                         z_is_sym=False):
         """Build (or fetch) the one-dispatch lane decompress program:
-        z (int8 symbols or f32 z_hat) + ONE compact flat bank buffer ->
-        (x_hat, per-segment idx hashes). Per-segment kernel banks are
-        rebuilt on device with dynamic_slice from the flat buffer
-        (`lane_coder.flat_banks` layout) — the offsets are traced inputs,
-        so per-stream variation never recompiles."""
+        ONE flat int32 buffer -> (x_hat, per-segment idx hashes). The
+        buffer front carries the per-segment bank offset table and the z
+        latent (int8 symbols or f32 z_hat, bitcast into int32 words) at
+        static offsets, followed by the `lane_coder.flat_banks` payload —
+        so the whole decode input crosses H2D as a single transfer (the
+        tunneled link charges fixed latency per device_put). Per-segment
+        kernel banks are rebuilt on device with dynamic_slice; the bank
+        offsets are traced *values* read out of the buffer, so per-stream
+        size variation never recompiles."""
         from ..ans import lane_coder as lc
 
         key = (
             tuple(subs), y_shape, wr, sr, tuple(ns), self.synth_chunks,
-            z_is_sym,
+            z_shape, z_is_sym,
         )
         fn = self._lane_fused_cache.get(key)
         if fn is not None:
@@ -506,11 +511,24 @@ class Codec:
         interpret = jax.default_backend() != "tpu"
         medians = jnp.asarray(self.eb_coder.medians)
         G, KL = lc.GROUPS, lc.K
+        n_boffs = len(ns) * 3 * G
+        zn = int(np.prod(z_shape))
+        z_words = (zn + 3) // 4 if z_is_sym else zn
 
-        def fn(params, z, flat, boffs, cdf, lens, offs):
-            z_hat = (
-                z.astype(jnp.float32) + medians if z_is_sym else z
-            )
+        def fn(params, buf, cdf, lens, offs):
+            boffs = buf[:n_boffs].reshape(len(ns), 3, G)
+            zw = buf[n_boffs:n_boffs + z_words]
+            if z_is_sym:
+                z8 = jax.lax.bitcast_convert_type(zw, jnp.int8)
+                z_hat = (
+                    z8.reshape(-1)[:zn].reshape(z_shape)
+                    .astype(jnp.float32) + medians
+                )
+            else:
+                z_hat = jax.lax.bitcast_convert_type(
+                    zw, jnp.float32
+                ).reshape(z_shape)
+            flat = buf
 
             def seg_banks(seg):
                 w = jnp.concatenate([
@@ -598,11 +616,11 @@ class Codec:
         fused program's idx hashes don't match the stream's (caller then
         falls back to the lockstep per-slice walk).
 
-        H2D is kept to ~stream bytes: the segments' banks cross as ONE
-        compact flat buffer (+ a tiny offset table) and are rebuilt into
-        the kernel's padded layout on device (`lane_coder.flat_banks`),
-        and z crosses as int8 symbols dequantized in the program (f32
-        fallback for out-of-range symbols, e.g. untrained weights)."""
+        H2D is ONE transfer of ~stream bytes: a single int32 buffer
+        carries the offset table, the z latent (int8 symbols, with an f32
+        fallback for out-of-range symbols, e.g. untrained weights), and
+        the segments' banks back to back; the program rebuilds the
+        kernel's padded layout on device (`lane_coder.flat_banks`)."""
         from ..ans import lane_coder as lc
 
         # common buckets across segments: the bucket only sizes the
@@ -614,26 +632,30 @@ class Codec:
             lc.side_rows_for(s.side_counts.max()) for s in segments
         ))
         flat, boffs = lc.flat_banks(segments, wr, sr)
-        if probe is not None:
-            probe("banks_pack", None)  # host numpy time, no round trip
-        flat_dev = jax.device_put(flat)
-        boffs_dev = jax.device_put(boffs)
         z_is_sym = bool(z_sym.min() >= -128 and z_sym.max() <= 127)
         if z_is_sym:
-            z_dev = jax.device_put(z_sym.astype(np.int8))
+            zb = z_sym.astype(np.int8).reshape(-1)
+            pad = np.zeros((zb.size + 3) // 4 * 4, np.int8)
+            pad[: zb.size] = zb
+            z_i32 = pad.view("<i4")
         else:
-            z_dev = jax.device_put(
+            z_i32 = (
                 z_sym.astype(np.float32) + self.eb_coder.medians
-            )
+            ).reshape(-1).view(np.int32)
+        hdr = boffs.size + z_i32.size
+        buf = np.concatenate([
+            (boffs.reshape(-1) + hdr).astype(np.int32), z_i32, flat
+        ])
         if probe is not None:
-            probe("z_upload", z_dev)
-            probe("banks_upload", flat_dev)
+            probe("banks_pack", None)  # host numpy time, no round trip
+        buf_dev = jax.device_put(buf)
+        if probe is not None:
+            probe("banks_upload", buf_dev)
         fn = self._fused_decode_fn(
-            subs, y_shape, wr, sr, tuple(s.n for s in segments), z_is_sym
+            subs, y_shape, wr, sr, tuple(s.n for s in segments),
+            tuple(z_sym.shape), z_is_sym,
         )
-        x_hat, hvec = fn(
-            self.params, z_dev, flat_dev, boffs_dev, *self._lane_dev_tables
-        )
+        x_hat, hvec = fn(self.params, buf_dev, *self._lane_dev_tables)
         if np.array_equal(np.asarray(hvec), enc_hashes):
             if probe is not None:
                 probe("fused_walk_synth", x_hat)

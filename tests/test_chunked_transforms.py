@@ -97,4 +97,7 @@ def test_probe_phases(small_model_state):
                      "z_rans"]
     marks.clear()
     codec.decompress(enc["strings"], enc["shape"], probe=probe)
-    assert marks[0] == "z_decode"
+    # host-side z rANS decode marks first (no round trip), then the
+    # z_hat dequantization round trip
+    assert marks[0] == "z_host_rans"
+    assert "z_decode" in marks
