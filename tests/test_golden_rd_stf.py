@@ -81,6 +81,40 @@ def test_golden_rd_point_stf(golden, trained):
     np.testing.assert_allclose(psnr, golden["psnr"], atol=0.05)
 
 
+def test_lane_backend_matches_host_stf(trained):
+    """The stf bench ships the LANE backend (fused decode, and optionally
+    the fused encode walk): on a trained tiny Swin, the lane codec must
+    reproduce the host codec's reconstruction exactly — Swin's
+    LayerNorm/attention walk goes through different fused executables
+    than WACNN's conv/GDN walk, so test_lane_codec's WACNN coverage does
+    not transfer."""
+    import warnings
+
+    from make_golden_rd import synth_image
+
+    from stf_tpu.models import Codec
+
+    model, params = trained
+    x = np.stack([synth_image(10_000 + i, 128) for i in range(2)])
+    host = Codec(model, params)
+    lane = Codec(model, params, coder="lane", fused_encode=True)
+    enc_h = host.compress(x)
+    enc_l = lane.compress(x)
+    assert enc_h["strings"][1] == enc_l["strings"][1]  # same z stream
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a fused-decode fallback = failure
+        dec_l = lane.decompress(enc_l["strings"], enc_l["shape"])
+    dec_h = host.decompress(enc_h["strings"], enc_h["shape"])
+    # identical symbols by the hash guard (no-fallback enforced above);
+    # x_hat differs only by fusion-level float noise, like the WACNN twin
+    # test_lane_codec.py::test_fused_decompress_matches_walk
+    np.testing.assert_allclose(
+        np.asarray(dec_h["x_hat"], np.float32),
+        np.asarray(dec_l["x_hat"], np.float32),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
 def test_bf16_codec_rd_guard_stf(golden, trained):
     """The shipped stf bench config is bf16 transforms: the real-codec RD
     point with Codec(dtype=bfloat16) must stay within tight bounds of f32
