@@ -196,10 +196,18 @@ def attribution_pass(codec, batch, n_syms, stream_bytes, flops_analyze,
     )
     print(f"[{label}]   encode: {fmt(enc_marks)}", file=sys.stderr)
     print(f"[{label}]   decode: {fmt(dec_marks)}", file=sys.stderr)
-    return {
-        "encode": {k: round(v, 3) for k, v in enc_marks},
-        "decode": {k: round(v, 3) for k, v in dec_marks},
-    }
+    def as_dict(marks):
+        # duplicate names can appear if a fused path fell back mid-pass;
+        # suffix them instead of silently keeping only the last
+        out = {}
+        for name, dt in marks:
+            key, j = name, 2
+            while key in out:
+                key, j = f"{name}#{j}", j + 1
+            out[key] = round(dt, 3)
+        return out
+
+    return {"encode": as_dict(enc_marks), "decode": as_dict(dec_marks)}
 
 
 def bench_model(model_name: str, attribution: bool = True):
@@ -208,7 +216,6 @@ def bench_model(model_name: str, attribution: bool = True):
     import jax.numpy as jnp
 
     from stf_tpu.models import Codec
-    from stf_tpu.utils.flops import count_params  # noqa: F401 (import check)
     from stf_tpu.zoo import models
 
     lmbda = float(
@@ -251,9 +258,11 @@ def bench_model(model_name: str, attribution: bool = True):
         np.uint8
     )
 
-    # warm-up: compile every program in the enc+dec path
+    # warm-up: compile every program in the enc+dec path, including the
+    # one-element x_hat fetch the timed loop blocks on
     out = codec.compress(batch)
-    codec.decompress(out["strings"], out["shape"])
+    out_dec = codec.decompress(out["strings"], out["shape"])
+    np.asarray(out_dec["x_hat"][(0,) * 4])
     y_bytes = sum(len(s) for s in out["strings"][0])
     bpp = (
         (y_bytes + sum(len(s) for s in out["strings"][1]))

@@ -315,6 +315,13 @@ class Codec:
             if pack_drain is None
             else bool(pack_drain)
         )
+        if self._pack_drain and len(self.scale_table) > 64:
+            raise ValueError(
+                "pack_drain=True requires a scale table of <= 64 levels "
+                f"(idx must fit 6 bits; got {len(self.scale_table)}) — a "
+                "wider table would bleed idx bits into the q field and "
+                "silently corrupt host-coder streams"
+            )
 
         def quantize_packed(y_slice, mu, idx):
             q32 = jnp.round(y_slice - mu).astype(jnp.int32)
@@ -1073,6 +1080,10 @@ class Codec:
             out = self._compress_fused(x, probe=probe)
             if out is not None:
                 return out
+            if probe is not None:
+                # mark the rerun so attribution readers don't silently mix
+                # the aborted fused walk's marks with the per-slice walk's
+                probe("fused_encode_fallback", None)
         if probe is None:
             x_dev = jnp.asarray(x)
         else:
@@ -1331,6 +1342,17 @@ class Codec:
                 [dec_hashes[(i, k)] for i in range(S) for k in range(K)]
             )).astype(np.uint32)
             if not np.array_equal(hvec, enc_hashes):
+                if not self.fused:
+                    # the stream's indexes anchor to the fused ENCODE
+                    # executable, whose decode twin is the fused program —
+                    # with the fused knob off it was never tried, so try
+                    # it before failing (symmetric fallback)
+                    x_hat = self._fused_decompress(
+                        z_sym, y_shape, subs, segments, enc_hashes,
+                        probe=probe,
+                    )
+                    if x_hat is not None:
+                        return {"x_hat": x_hat}
                 raise ValueError(
                     "per-slice decode derived different scale indexes than "
                     "the stream's fused encoder (lockstep hash mismatch); "

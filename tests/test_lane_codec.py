@@ -293,6 +293,41 @@ class TestLaneCodec:
         with pytest.raises(ValueError, match="hash mismatch"):
             fused.decompress(bad, enc["shape"])
 
+    def test_per_slice_verify_retries_fused_decoder(self, small_model_state):
+        """A fused-encoded stream whose per-slice verify fails must retry
+        the fused DECODER (the executable the stream's hashes anchor to)
+        before raising — with Codec.fused=False the fused program was
+        never tried, and it may well decode the stream fine. Simulated by
+        sabotaging the per-slice hash derivation only."""
+        model, state = small_model_state
+        fused = Codec(model, state.params, coder="lane", fused_encode=True)
+        x = np.asarray(jax.random.uniform(jax.random.key(24), (1, 64, 64, 3)))
+        enc = fused.compress(x)
+        ref = fused.decompress(enc["strings"], enc["shape"])
+
+        fused.fused = False  # user knob: per-slice walk only
+        orig = fused._hash_fn
+        fused._hash_fn = lambda idx: orig(idx) ^ np.uint32(1)
+        dec = fused.decompress(enc["strings"], enc["shape"])
+        fused._hash_fn = orig
+        np.testing.assert_array_equal(
+            np.asarray(ref["x_hat"]), np.asarray(dec["x_hat"])
+        )
+
+    def test_pack_drain_needs_narrow_scale_table(self, small_model_state):
+        """pack_drain=True with a >64-level scale table would bleed idx
+        bits into the q field and corrupt host streams — the constructor
+        must refuse it (the default only enables packing when it fits)."""
+        model, state = small_model_state
+        wide = np.exp(
+            np.linspace(np.log(0.11), np.log(256.0), 128)
+        ).astype(np.float32)
+        with pytest.raises(ValueError, match="pack_drain"):
+            Codec(model, state.params, scale_table=wide, pack_drain=True)
+        # the default auto-disables packing instead of raising
+        codec = Codec(model, state.params, scale_table=wide)
+        assert not codec._pack_drain
+
     def test_lane_header_magic_checked(self, small_model_state):
         """A stream without the codec header magic (e.g. from an older
         build) must be rejected up front."""
