@@ -55,6 +55,11 @@ class TestEntropyBottleneckParity:
 
         from stf_tpu.entropy import build_eb_tables
 
+        # seeded: with unseeded quantiles a rare draw lands a pmf right on
+        # a CDF-repair boundary where tiny torch-vs-numpy float drift
+        # cascades past the ±1 quantizer tolerance (observed 21/65536 once
+        # in ~20 runs) — the parity property itself is unchanged
+        torch.manual_seed(0)
         eb = ref.entropy_models.EntropyBottleneck(8)
         with torch.no_grad():
             # make quantiles non-trivial
