@@ -210,17 +210,25 @@ def attribution_pass(codec, batch, n_syms, stream_bytes, flops_analyze,
     return {"encode": as_dict(enc_marks), "decode": as_dict(dec_marks)}
 
 
-def bench_model(model_name: str, attribution: bool = True):
-    """Returns (images_per_sec, vs_baseline, extras)."""
+def bench_model(model_name: str, attribution: bool = True,
+                primary: bool = True):
+    """Returns (images_per_sec, vs_baseline, extras).
+
+    The STF_BENCH_* A/B knobs (LAMBDA/CODER/FUSED/PIPELINE) apply to the
+    PRIMARY model only: the secondary flagship is a regression canary and
+    must stay at its shipping configuration — an A/B lambda would silently
+    retrain it (~20 min on the one chip) and report its metric at a
+    non-comparable operating point."""
     import jax
     import jax.numpy as jnp
 
     from stf_tpu.models import Codec
     from stf_tpu.zoo import models
 
-    lmbda = float(
-        os.environ.get("STF_BENCH_LAMBDA", PRELUDE_LMBDA[model_name])
-    )
+    def knob(name, default):
+        return os.environ.get(name, default) if primary else default
+
+    lmbda = float(knob("STF_BENCH_LAMBDA", PRELUDE_LMBDA[model_name]))
     # full-size flagships: cnn = WACNN (N=192, M=320, 10 slices),
     # stf = SymmetricalTransFormer (embed 48, 12 slices)
     model = models[model_name]()
@@ -234,11 +242,11 @@ def bench_model(model_name: str, attribution: bool = True):
     # decodes the whole walk as ONE device program (Pallas interleaved
     # rANS + hash-guarded fused decompress); "host" is the
     # reference-contract CPU coder (STF_BENCH_CODER=host to A/B).
-    coder = os.environ.get("STF_BENCH_CODER", "lane")
+    coder = knob("STF_BENCH_CODER", "lane")
     # STF_BENCH_FUSED=1 A/Bs the one-dispatch fused encode walk;
     # STF_BENCH_PIPELINE=K overlaps sub-batch uploads with the fused walk
-    fused_enc = os.environ.get("STF_BENCH_FUSED", "0") == "1"
-    pipeline = int(os.environ.get("STF_BENCH_PIPELINE", "1"))
+    fused_enc = knob("STF_BENCH_FUSED", "0") == "1"
+    pipeline = int(knob("STF_BENCH_PIPELINE", "1"))
     # stf's Swin analyze/synthesis at batch 24 x 512x768 exceeds 16 GB HBM
     # (needs 16.24 GB); lax.map chunking inside the jitted transform keeps
     # ONE full-batch codec walk (half the dispatches of splitting the
@@ -342,7 +350,9 @@ def main():
     }
     if SECONDARY and SECONDARY != MODEL:
         try:
-            ips2, vs2, extras2 = bench_model(SECONDARY, attribution=False)
+            ips2, vs2, extras2 = bench_model(
+                SECONDARY, attribution=False, primary=False
+            )
             out[f"{SECONDARY}_images_per_sec"] = round(ips2, 4)
             out[f"{SECONDARY}_vs_baseline"] = round(vs2, 4)
             out[f"{SECONDARY}_bpp"] = extras2["bpp"]

@@ -102,6 +102,63 @@ def _unpack12(packed_np: np.ndarray, n: int):
     return sym, idx
 
 
+def _z_quantize_math(z, medians):
+    """Traced z quantization, shared by the per-slice path
+    (`Codec._z_quantize`) and the fused encode program. Bit-exact with the
+    host path: bf16 z casts to f32 first (exact), round is half-to-even
+    like np.rint, and z_hat = symbols + medians in f32 — the same ops the
+    decoder performs on the same values."""
+    z32 = z.astype(jnp.float32)
+    sym32 = jnp.round(z32 - medians).astype(jnp.int32)
+    sym8 = jnp.clip(sym32, -128, 127).astype(jnp.int8)
+    overflow = jnp.any(sym32 != sym8.astype(jnp.int32))
+    z_hat = sym32.astype(jnp.float32) + medians
+    return sym32, sym8, overflow, z_hat
+
+
+def _traced_walk(model, params, lm, ls, table, idx_dtype, get_symbols,
+                 need_y_hat=True):
+    """The channel-AR chain traced into BOTH fused executables: the fused
+    DECODE program and the fused ENCODE program call this one function, so
+    their derived mu/scale/idx math cannot drift apart (CLAUDE.md lockstep
+    invariant — the per-slice walk is the other, deliberately separate,
+    executable pair). `get_symbols(i, mu, idx_q)` supplies slice i's int32
+    symbols: the decode side runs the lane kernel on the stream banks, the
+    encode side quantizes y and records the kernel's output banks. Returns
+    (y_hat_slices, per-slice idx hashes); `need_y_hat=False` skips the
+    final slice's dequantize+lrp apply (the encoder never consumes it)."""
+    S = model.num_slices
+    k_supp = model.max_support_slices
+    y_hat_slices: List = []
+    hashes: List = []
+
+    def support():
+        return tuple(y_hat_slices if k_supp < 0 else y_hat_slices[:k_supp])
+
+    mu, idx = model.apply(
+        {"params": params}, 0, lm, ls, (), table,
+        method="decode_slice_indexes",
+    )
+    for i in range(S):
+        idx_q = idx.astype(idx_dtype)
+        hashes.append(_idx_hash_dev(idx_q))
+        rv = get_symbols(i, mu, idx_q)
+        if i < S - 1:
+            y_prev, mu, idx = model.apply(
+                {"params": params}, i + 1, lm, ls, support(), mu, rv,
+                table, method="decode_slice_fused",
+            )
+            y_hat_slices.append(y_prev)
+        elif need_y_hat:
+            y_hat_slices.append(
+                model.apply(
+                    {"params": params}, S - 1, lm, support(), mu, rv,
+                    method="decode_slice_apply",
+                )
+            )
+    return y_hat_slices, hashes
+
+
 class Codec:
     """Wraps (model, params) with CDF tables and jitted coding-path fns.
 
@@ -208,6 +265,7 @@ class Codec:
 
             params = jax.tree_util.tree_map_with_path(cast, params)
         self.params = params
+        self._pack_drain_arg = pack_drain
         self.update()
 
         # compute dtype follows the params (bf16 params -> bf16 transforms)
@@ -260,28 +318,6 @@ class Codec:
             ),
             static_argnums=(2,),
         )
-        # scale-table indexes fit in a byte (64 levels): cast before the
-        # device->host transfer, which is the scarce resource in the walk
-        idx_dtype = jnp.uint8 if len(self.scale_table) <= 255 else jnp.int32
-        self._idx_dtype = idx_dtype
-        table = jnp.asarray(self.scale_table)
-
-        def slice_idx(p, i, lm, ls, support):
-            mu, idx = model.apply(
-                {"params": p}, i, lm, ls, support, table,
-                method="decode_slice_indexes",
-            )
-            return mu, idx.astype(idx_dtype)
-
-        def slice_fused(p, i, lm, ls, support, mu, rv):
-            y_prev, mu, idx = model.apply(
-                {"params": p}, i, lm, ls, support, mu, rv, table,
-                method="decode_slice_fused",
-            )
-            return y_prev, mu, idx.astype(idx_dtype)
-
-        self._slice_idx = jax.jit(slice_idx, static_argnums=(1,))
-        self._slice_fused = jax.jit(slice_fused, static_argnums=(1,))
         self._slice_apply = jax.jit(
             lambda p, i, lm, support, mu, rv: model.apply(
                 {"params": p}, i, lm, support, mu, rv,
@@ -309,19 +345,9 @@ class Codec:
         # shift-ors in the quantize program and unpacked on the host
         # (`_unpack12`) before the byte-identical rANS encode. A slice
         # with any |q| > 31 falls back to the int8/int32 drain (flag
-        # checked in one batched fetch after the walk).
-        self._pack_drain = (
-            len(self.scale_table) <= 64
-            if pack_drain is None
-            else bool(pack_drain)
-        )
-        if self._pack_drain and len(self.scale_table) > 64:
-            raise ValueError(
-                "pack_drain=True requires a scale table of <= 64 levels "
-                f"(idx must fit 6 bits; got {len(self.scale_table)}) — a "
-                "wider table would bleed idx bits into the q field and "
-                "silently corrupt host-coder streams"
-            )
+        # checked in one batched fetch after the walk). The flag itself is
+        # derived in `_build_table_programs` (scale-table-dependent state,
+        # re-derived by `update()`).
 
         def quantize_packed(y_slice, mu, idx):
             q32 = jnp.round(y_slice - mu).astype(jnp.int32)
@@ -344,21 +370,11 @@ class Codec:
         # is a blocking round trip (~30 ms through a tunneled link)
         self._stack_flags = jax.jit(lambda xs: jnp.stack(xs))
 
-        def z_quantize(z, medians):
-            # device-side z quantization: only ~1 byte/symbol crosses the
-            # link for the factorized stream (vs the 4-byte float latent),
-            # and z_hat never round-trips. Bit-exact with the host path:
-            # bf16 z casts to f32 first (exact), round is half-to-even like
-            # np.rint, and z_hat = symbols + medians in f32 — the same ops
-            # the decoder performs on the same values.
-            z32 = z.astype(jnp.float32)
-            sym32 = jnp.round(z32 - medians).astype(jnp.int32)
-            sym8 = jnp.clip(sym32, -128, 127).astype(jnp.int8)
-            overflow = jnp.any(sym32 != sym8.astype(jnp.int32))
-            z_hat = sym32.astype(jnp.float32) + medians
-            return sym32, sym8, overflow, z_hat
-
-        self._z_quantize = jax.jit(z_quantize)
+        # device-side z quantization: only ~1 byte/symbol crosses the
+        # link for the factorized stream (vs the 4-byte float latent),
+        # and z_hat never round-trips (math in `_z_quantize_math`, shared
+        # with the fused encode program)
+        self._z_quantize = jax.jit(_z_quantize_math)
         self._synth = jax.jit(
             lambda p, y_hat: chunked_apply(
                 p, y_hat, self.synth_chunks, "synthesize"
@@ -367,9 +383,55 @@ class Codec:
 
     # -- table refresh (reference `update()`) --------------------------------
 
+    def _build_table_programs(self):
+        """(Re)build every piece of derived state that captures the scale
+        table: the per-slice walk programs (which close over the table as
+        a device constant), the index transfer dtype, and the packed-drain
+        eligibility. Called from `update()` so `update(scale_table=...)` —
+        the reference's table-sweep protocol — swaps the table atomically:
+        a stale captured table would silently derive scale indexes from
+        one table while coding against another's CDFs."""
+        model = self.model
+        # scale-table indexes fit in a byte (64 levels): cast before the
+        # device->host transfer, which is the scarce resource in the walk
+        idx_dtype = jnp.uint8 if len(self.scale_table) <= 255 else jnp.int32
+        self._idx_dtype = idx_dtype
+        table = jnp.asarray(self.scale_table)
+
+        def slice_idx(p, i, lm, ls, support):
+            mu, idx = model.apply(
+                {"params": p}, i, lm, ls, support, table,
+                method="decode_slice_indexes",
+            )
+            return mu, idx.astype(idx_dtype)
+
+        def slice_fused(p, i, lm, ls, support, mu, rv):
+            y_prev, mu, idx = model.apply(
+                {"params": p}, i, lm, ls, support, mu, rv, table,
+                method="decode_slice_fused",
+            )
+            return y_prev, mu, idx.astype(idx_dtype)
+
+        self._slice_idx = jax.jit(slice_idx, static_argnums=(1,))
+        self._slice_fused = jax.jit(slice_fused, static_argnums=(1,))
+
+        self._pack_drain = (
+            len(self.scale_table) <= 64
+            if self._pack_drain_arg is None
+            else bool(self._pack_drain_arg)
+        )
+        if self._pack_drain and len(self.scale_table) > 64:
+            raise ValueError(
+                "pack_drain=True requires a scale table of <= 64 levels "
+                f"(idx must fit 6 bits; got {len(self.scale_table)}) — a "
+                "wider table would bleed idx bits into the q field and "
+                "silently corrupt host-coder streams"
+            )
+
     def update(self, scale_table: Optional[np.ndarray] = None, force: bool = True):
         if scale_table is not None:
             self.scale_table = np.asarray(scale_table, np.float32)
+        self._build_table_programs()
         eb_params = self.params["entropy_bottleneck"]
         self.eb_coder = EntropyBottleneckCoder(
             build_eb_tables(eb_params),
@@ -511,7 +573,6 @@ class Codec:
 
         model = self.model
         S = model.num_slices
-        k_supp = model.max_support_slices
         K_subs = len(subs)
         table = jnp.asarray(self.scale_table)
         idx_dtype = self._idx_dtype
@@ -563,45 +624,26 @@ class Codec:
             y_hat_subs = []
             for k, (lo, hi) in enumerate(subs):
                 lm, ls = lm_all[lo:hi], ls_all[lo:hi]
-                y_hat_slices: List = []
 
-                def support():
-                    return tuple(
-                        y_hat_slices if k_supp < 0 else y_hat_slices[:k_supp]
-                    )
-
-                mu, idx = model.apply(
-                    {"params": params}, 0, lm, ls, (), table,
-                    method="decode_slice_indexes",
-                )
-                for i in range(S):
-                    seg = i * K_subs + k
-                    idx_q = idx.astype(idx_dtype)
-                    hashes[(i, k)] = _idx_hash_dev(idx_q)
-                    n = int(np.prod(idx.shape))
+                def get_symbols(i, mu, idx_q, _k=k):
+                    seg = i * K_subs + _k
+                    n = int(np.prod(idx_q.shape))
                     if n != ns[seg]:
                         raise ValueError(
                             "lane segment symbol count does not match the "
                             "slice shape"
                         )
                     w_b, s_b, st_b = seg_banks(seg)
-                    rv = lc.lane_decode_device(
+                    return lc.lane_decode_device(
                         idx_q, w_b, s_b, st_b,
                         cdf, lens, offs, n, interpret=interpret,
-                    ).reshape(idx.shape).astype(jnp.int32)
-                    if i < S - 1:
-                        y_prev, mu, idx = model.apply(
-                            {"params": params}, i + 1, lm, ls, support(),
-                            mu, rv, table, method="decode_slice_fused",
-                        )
-                        y_hat_slices.append(y_prev)
-                    else:
-                        y_hat_slices.append(
-                            model.apply(
-                                {"params": params}, S - 1, lm, support(),
-                                mu, rv, method="decode_slice_apply",
-                            )
-                        )
+                    ).reshape(idx_q.shape).astype(jnp.int32)
+
+                y_hat_slices, h = _traced_walk(
+                    model, params, lm, ls, table, idx_dtype, get_symbols
+                )
+                for i in range(S):
+                    hashes[(i, k)] = h[i]
                 y_hat_subs.append(jnp.concatenate(y_hat_slices, axis=-1))
             y_hat = jnp.concatenate(y_hat_subs, axis=0)
             x_hat = self._chunked_apply(
@@ -695,8 +737,6 @@ class Codec:
 
         model = self.model
         S = model.num_slices
-        k_supp = model.max_support_slices
-        K_subs = len(subs)
         table = jnp.asarray(self.scale_table)
         idx_dtype = self._idx_dtype
         interpret = jax.default_backend() != "tpu"
@@ -712,11 +752,9 @@ class Codec:
             y, z = chunked_apply(
                 params, x.astype(dtype), analyze_chunks, "analyze"
             )
-            z32 = z.astype(jnp.float32)
-            z_sym32 = jnp.round(z32 - medians).astype(jnp.int32)
-            z_sym8 = jnp.clip(z_sym32, -128, 127).astype(jnp.int8)
-            z_overflow = jnp.any(z_sym32 != z_sym8.astype(jnp.int32))
-            z_hat = z_sym32.astype(jnp.float32) + medians
+            z_sym32, z_sym8, z_overflow, z_hat = _z_quantize_math(
+                z, medians
+            )
             y_shape = (y.shape[1], y.shape[2])
             lm_all, ls_all = model.apply(
                 {"params": params}, z_hat, y_shape,
@@ -728,33 +766,22 @@ class Codec:
             for k, (lo, hi) in enumerate(subs):
                 lm, ls = lm_all[lo:hi], ls_all[lo:hi]
                 y_slices = jnp.split(y[lo:hi], bounds, axis=-1)
-                y_hat_slices: List = []
 
-                def support():
-                    return tuple(
-                        y_hat_slices if k_supp < 0
-                        else y_hat_slices[:k_supp]
-                    )
-
-                mu, idx = model.apply(
-                    {"params": params}, 0, lm, ls, (), table,
-                    method="decode_slice_indexes",
-                )
-                for i in range(S):
-                    idx_q = idx.astype(idx_dtype)
-                    hashes[(i, k)] = _idx_hash_dev(idx_q)
-                    q32 = jnp.round(y_slices[i] - mu).astype(jnp.int32)
-                    n = int(np.prod(y_slices[i].shape))
-                    banks[(i, k)] = lc.lane_encode_device(
-                        q32, idx_q, cdf, lens, offs, n, pad_sym,
+                def get_symbols(i, mu, idx_q, _k=k, _ys=y_slices):
+                    q32 = jnp.round(_ys[i] - mu).astype(jnp.int32)
+                    banks[(i, _k)] = lc.lane_encode_device(
+                        q32, idx_q, cdf, lens, offs,
+                        int(np.prod(_ys[i].shape)), pad_sym,
                         interpret=interpret,
                     )
-                    if i < S - 1:
-                        y_prev, mu, idx = model.apply(
-                            {"params": params}, i + 1, lm, ls, support(),
-                            mu, q32, table, method="decode_slice_fused",
-                        )
-                        y_hat_slices.append(y_prev)
+                    return q32
+
+                _, h = _traced_walk(
+                    model, params, lm, ls, table, idx_dtype, get_symbols,
+                    need_y_hat=False,
+                )
+                for i in range(S):
+                    hashes[(i, k)] = h[i]
             keys = sorted(banks)
             # one i32 vector holding everything compress() must block on:
             # per-segment (G, 128) counts, per-segment idx hashes, and the
@@ -1220,7 +1247,17 @@ class Codec:
         if self.coder == "lane":
             from ..ans import lane_coder as lc
 
-            header = int(np.frombuffer(y_strings[0][:4], "<u4")[0])
+            blob = y_strings[0] if len(y_strings) else b""
+            # the header word plus the S*K idx hashes must be present
+            # before any frombuffer parse (a truncated/foreign blob should
+            # hit the documented ValueError, not a numpy buffer-size error)
+            if len(blob) < 4 + 4 * S * K:
+                raise ValueError(
+                    f"lane y-stream is {len(blob)} bytes — shorter than "
+                    f"its {4 + 4 * S * K}-byte header (truncated, or not "
+                    "a lane stream)"
+                )
+            header = int(np.frombuffer(blob[:4], "<u4")[0])
             if (header & 0xFFFFFF00) != _LANE_HEADER_MAGIC:
                 raise ValueError(
                     f"lane y-stream header 0x{header:08x} does not carry "
@@ -1229,9 +1266,9 @@ class Codec:
                 )
             fused_enc = bool(header & _LANE_FLAG_FUSED_ENC)
             enc_hashes = np.frombuffer(
-                y_strings[0][4: 4 + 4 * S * K], "<u4"
+                blob[4: 4 + 4 * S * K], "<u4"
             ).copy()
-            segments = lc.unpack_lane_stream(y_strings[0][4 + 4 * S * K:])
+            segments = lc.unpack_lane_stream(blob[4 + 4 * S * K:])
             if probe is not None:
                 probe("y_unpack", None)  # host stream parse, no round trip
             if len(segments) != S * K:

@@ -440,3 +440,82 @@ class TestLaneCodec:
             np.asarray(dec_h["x_hat"], np.float32),
             atol=1e-5, rtol=2e-2,
         )
+
+
+class TestUpdateScaleTable:
+    """`Codec.update(scale_table=...)` — the reference's table-sweep
+    protocol (`GaussianConditional.update_scale_table`,
+    entropy_models.py:588) — must atomically swap ALL derived state: the
+    per-slice walk programs capture the table as a device constant, so a
+    stale capture would derive scale indexes from one table while coding
+    against another's CDFs (silent stream divergence)."""
+
+    def test_update_matches_fresh_codec(self, small_model_state):
+        model, state = small_model_state
+        coarse = np.exp(
+            np.linspace(np.log(0.11), np.log(256.0), 24)
+        ).astype(np.float32)
+        x = np.asarray(jax.random.uniform(jax.random.key(31), (1, 64, 64, 3)))
+
+        swapped = Codec(model, state.params, coder="host")
+        enc_default = swapped.compress(x)
+        swapped.update(scale_table=coarse)
+        enc_swapped = swapped.compress(x)
+
+        fresh = Codec(model, state.params, coder="host", scale_table=coarse)
+        enc_fresh = fresh.compress(x)
+        assert enc_swapped["strings"][0] == enc_fresh["strings"][0]
+        assert enc_swapped["strings"][0] != enc_default["strings"][0]
+
+        dec = fresh.decompress(enc_swapped["strings"], enc_swapped["shape"])
+        dec_own = swapped.decompress(enc_swapped["strings"], enc_swapped["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec["x_hat"]), np.asarray(dec_own["x_hat"])
+        )
+
+    def test_update_lane_backend(self, small_model_state):
+        """Lane backend: update() must also rebuild the device tables and
+        invalidate the fused-program caches."""
+        model, state = small_model_state
+        coarse = np.exp(
+            np.linspace(np.log(0.11), np.log(256.0), 24)
+        ).astype(np.float32)
+        x = np.asarray(jax.random.uniform(jax.random.key(32), (1, 64, 64, 3)))
+        swapped = Codec(model, state.params, coder="lane")
+        swapped.compress(x)  # populate fused caches at the default table
+        swapped.update(scale_table=coarse)
+        fresh = Codec(model, state.params, coder="lane", scale_table=coarse)
+        enc_swapped = swapped.compress(x)
+        enc_fresh = fresh.compress(x)
+        assert enc_swapped["strings"][0][0] == enc_fresh["strings"][0][0]
+        dec = swapped.decompress(enc_swapped["strings"], enc_swapped["shape"])
+        dec_f = fresh.decompress(enc_fresh["strings"], enc_fresh["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(dec["x_hat"]), np.asarray(dec_f["x_hat"])
+        )
+
+    def test_update_reapplies_pack_drain_guard(self, small_model_state):
+        model, state = small_model_state
+        wide = np.exp(
+            np.linspace(np.log(0.11), np.log(256.0), 128)
+        ).astype(np.float32)
+        # auto mode: packing follows the new table's eligibility
+        codec = Codec(model, state.params, coder="host")
+        assert codec._pack_drain
+        codec.update(scale_table=wide)
+        assert not codec._pack_drain
+        # explicit pack_drain=True: a too-wide table must raise at update
+        forced = Codec(model, state.params, coder="host", pack_drain=True)
+        with pytest.raises(ValueError, match="pack_drain"):
+            forced.update(scale_table=wide)
+
+    def test_short_lane_stream_raises_value_error(self, small_model_state):
+        """Truncation inside the codec header must hit the documented
+        ValueError, not a cryptic numpy buffer-size error."""
+        model, state = small_model_state
+        lane = Codec(model, state.params, coder="lane")
+        x = np.asarray(jax.random.uniform(jax.random.key(33), (1, 64, 64, 3)))
+        enc = lane.compress(x)
+        for blob in (b"", b"\x5a\x01", enc["strings"][0][0][:7]):
+            with pytest.raises(ValueError, match="lane y-stream"):
+                lane.decompress([[blob], enc["strings"][1]], enc["shape"])
