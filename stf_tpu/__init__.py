@@ -22,16 +22,18 @@ Layout:
 __version__ = "0.1.0"
 
 _entropy_coder = "rans"
-_available_entropy_coders = ["rans"]
+_available_entropy_coders = ["rans", "rangecoder"]
 
 
 def available_entropy_coders():
     """List the names of the usable entropy coder backends.
 
     Mirrors the registry semantics of the reference
-    (`compressai/__init__.py:22-62`); only the native rANS backend is
-    provided (the optional `range_coder` pip backend of the reference is
-    deliberately not supported).
+    (`compressai/__init__.py:22-62`): "rans" is the default 64-bit rANS
+    backend; "rangecoder" is a native carry-propagating range coder with
+    the same symbol protocol (the reference's optional `range_coder` pip
+    backend, here built into the same C++ extension — no pip dependency).
+    Streams are not interoperable between backends.
     """
     return list(_available_entropy_coders)
 

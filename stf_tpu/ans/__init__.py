@@ -16,17 +16,51 @@ array-like) and avoid Python list marshalling entirely.
 """
 
 from ._binding import (
+    BufferedRangeEncoder,
     BufferedRansEncoder,
+    RangeDecoder,
+    RangeEncoder,
     RansDecoder,
     RansEncoder,
     pmf_to_quantized_cdf,
     pmf_to_quantized_cdf_rows,
 )
 
+# host entropy backends by registry name (stf_tpu.set_entropy_coder):
+# same symbol protocol, different bit layers — streams are NOT
+# interoperable between backends (pick one per deployment, like the
+# reference's `--entropy-coder` flag).
+_HOST_CODERS = {
+    "rans": (BufferedRansEncoder, RansEncoder, RansDecoder),
+    "rangecoder": (BufferedRangeEncoder, RangeEncoder, RangeDecoder),
+}
+
+
+def host_coder_classes(name=None):
+    """(BufferedEncoder, Encoder, Decoder) classes for the named host
+    entropy backend; with no name, follows the package-level selection
+    (`stf_tpu.get_entropy_coder()`)."""
+    if name is None:
+        import stf_tpu
+
+        name = stf_tpu.get_entropy_coder()
+    try:
+        return _HOST_CODERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown host entropy coder {name!r} "
+            f"(available: {', '.join(_HOST_CODERS)})"
+        ) from None
+
+
 __all__ = [
     "BufferedRansEncoder",
     "RansEncoder",
     "RansDecoder",
+    "BufferedRangeEncoder",
+    "RangeEncoder",
+    "RangeDecoder",
+    "host_coder_classes",
     "pmf_to_quantized_cdf",
     "pmf_to_quantized_cdf_rows",
 ]

@@ -63,6 +63,32 @@ _lib.stf_decoder_decode_stream.argtypes = [
 _i64p = ctypes.POINTER(ctypes.c_int64)
 _u16p = ctypes.POINTER(ctypes.c_uint16)
 
+# range-coder backend (same symbol protocol, forward byte-wise bit layer)
+_lib.stf_rc_encoder_flush.restype = ctypes.c_int64
+_lib.stf_rc_encoder_flush.argtypes = [ctypes.c_void_p, _u8p, ctypes.c_int64]
+_lib.stf_rc_encode_with_indexes.restype = ctypes.c_int64
+_lib.stf_rc_encode_with_indexes.argtypes = [
+    _i32p, _i32p, ctypes.c_int64,
+    _i32p, ctypes.c_int64, _i32p, _i32p,
+    _u8p, ctypes.c_int64,
+]
+_lib.stf_rc_decode_with_indexes.restype = ctypes.c_int64
+_lib.stf_rc_decode_with_indexes.argtypes = [
+    _u8p, ctypes.c_int64, _i32p, ctypes.c_int64,
+    _i32p, ctypes.c_int64, _i32p, _i32p, _i32p,
+]
+_lib.stf_rc_decoder_new.restype = ctypes.c_void_p
+_lib.stf_rc_decoder_free.argtypes = [ctypes.c_void_p]
+_lib.stf_rc_decoder_set_stream.restype = ctypes.c_int32
+_lib.stf_rc_decoder_set_stream.argtypes = [
+    ctypes.c_void_p, _u8p, ctypes.c_int64,
+]
+_lib.stf_rc_decoder_decode_stream.restype = ctypes.c_int64
+_lib.stf_rc_decoder_decode_stream.argtypes = [
+    ctypes.c_void_p, _i32p, ctypes.c_int64,
+    _i32p, ctypes.c_int64, _i32p, _i32p, _i32p,
+]
+
 _lib.stf_lane_encode.restype = ctypes.c_int32
 _lib.stf_lane_encode.argtypes = [
     _i32p, _i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
@@ -114,9 +140,9 @@ class BufferedRansEncoder:
     def __init__(self):
         self._handle = _lib.stf_encoder_new()
 
-    def __del__(self):
+    def __del__(self, _free=_lib.stf_encoder_free):
         if getattr(self, "_handle", None):
-            _lib.stf_encoder_free(self._handle)
+            _free(self._handle)
             self._handle = None
 
     def encode_with_indexes(self, symbols, indexes, cdfs, cdf_lengths, offsets):
@@ -163,9 +189,9 @@ class RansDecoder:
     def __init__(self):
         self._handle = _lib.stf_decoder_new()
 
-    def __del__(self):
+    def __del__(self, _free=_lib.stf_decoder_free):
         if getattr(self, "_handle", None):
-            _lib.stf_decoder_free(self._handle)
+            _free(self._handle)
             self._handle = None
 
     def decode_with_indexes(
@@ -204,6 +230,92 @@ class RansDecoder:
         _check_indexes(indexes, cdfs)
         out = np.empty(indexes.size, dtype=np.int32)
         n = _lib.stf_decoder_decode_stream(
+            self._handle,
+            _i32_ptr(indexes), indexes.size,
+            _i32_ptr(cdfs), cdfs.shape[1], _i32_ptr(cdf_lengths),
+            _i32_ptr(offsets), _i32_ptr(out),
+        )
+        if n < 0:
+            raise RuntimeError("decode_stream called before set_stream")
+        return out
+
+
+class BufferedRangeEncoder(BufferedRansEncoder):
+    """Range-coder twin of BufferedRansEncoder: identical symbol protocol
+    and buffering API, forward byte-wise bit layer (the reference's
+    optional "rangecoder" backend, `compressai/__init__.py:22-62`).
+    Streams are NOT interoperable between the two backends."""
+
+    def flush(self) -> bytes:
+        cap = _lib.stf_encoder_bound(self._handle)
+        out = np.empty(max(cap, 8), dtype=np.uint8)
+        n = _lib.stf_rc_encoder_flush(
+            self._handle, out.ctypes.data_as(_u8p), out.size
+        )
+        if n < 0:
+            raise RuntimeError("range-coder flush failed (buffer too small)")
+        return out[:n].tobytes()
+
+
+class RangeEncoder:
+    """One-shot range-coder encoder (API twin of RansEncoder)."""
+
+    def encode_with_indexes(
+        self, symbols, indexes, cdfs, cdf_lengths, offsets
+    ) -> bytes:
+        enc = BufferedRangeEncoder()
+        enc.encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets)
+        return enc.flush()
+
+
+class RangeDecoder:
+    """Stateless + streaming range-coder decoding (API twin of
+    RansDecoder)."""
+
+    def __init__(self):
+        self._handle = _lib.stf_rc_decoder_new()
+
+    def __del__(self, _free=_lib.stf_rc_decoder_free):
+        if getattr(self, "_handle", None):
+            _free(self._handle)
+            self._handle = None
+
+    def decode_with_indexes(
+        self, stream: bytes, indexes, cdfs, cdf_lengths, offsets
+    ) -> np.ndarray:
+        indexes = _as_i32(indexes)
+        cdfs = _as_cdf_table(cdfs)
+        cdf_lengths = _as_i32(cdf_lengths)
+        offsets = _as_i32(offsets)
+        _check_indexes(indexes, cdfs)
+        buf = np.frombuffer(stream, dtype=np.uint8)
+        out = np.empty(indexes.size, dtype=np.int32)
+        n = _lib.stf_rc_decode_with_indexes(
+            buf.ctypes.data_as(_u8p), buf.size,
+            _i32_ptr(indexes), indexes.size,
+            _i32_ptr(cdfs), cdfs.shape[1], _i32_ptr(cdf_lengths),
+            _i32_ptr(offsets), _i32_ptr(out),
+        )
+        if n < 0:
+            raise RuntimeError("invalid range-coder stream")
+        return out
+
+    def set_stream(self, stream: bytes) -> None:
+        buf = np.frombuffer(stream, dtype=np.uint8)
+        rc = _lib.stf_rc_decoder_set_stream(
+            self._handle, buf.ctypes.data_as(_u8p), buf.size
+        )
+        if rc != 0:
+            raise RuntimeError("invalid range-coder stream")
+
+    def decode_stream(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
+        indexes = _as_i32(indexes)
+        cdfs = _as_cdf_table(cdfs)
+        cdf_lengths = _as_i32(cdf_lengths)
+        offsets = _as_i32(offsets)
+        _check_indexes(indexes, cdfs)
+        out = np.empty(indexes.size, dtype=np.int32)
+        n = _lib.stf_rc_decoder_decode_stream(
             self._handle,
             _i32_ptr(indexes), indexes.size,
             _i32_ptr(cdfs), cdfs.shape[1], _i32_ptr(cdf_lengths),

@@ -193,35 +193,40 @@ int64_t flush_syms(std::vector<BufferedSym> &syms, uint8_t *out,
   return nbytes;
 }
 
-int64_t decode_symbols(RansDecState &rans, const uint32_t **ptr,
-                       const int32_t *indexes, int64_t n, const CdfView &t,
-                       int32_t *out) {
+// Symbol-layer decode shared by BOTH host bit layers (rANS and the range
+// coder): row select, linear CDF scan, escape -> bypass chunks with
+// saturating base-15 unary counts, zig-zag raw-value reassembly. The bit
+// layer is abstracted behind `Dec` (peek_cum / consume / bypass_bits) so the
+// protocol cannot drift between backends.
+template <class Dec>
+int64_t decode_symbols_t(Dec &dec, const int32_t *indexes, int64_t n,
+                         const CdfView &t, int32_t *out) {
   for (int64_t i = 0; i < n; ++i) {
     const int32_t cdf_idx = indexes[i];
     const int32_t *cdf = t.row(cdf_idx);
     const int32_t cdf_len = t.cdf_lengths[cdf_idx];
     const int32_t max_value = cdf_len - 2;
 
-    const uint32_t cum = rans.peek(kPrecision);
+    const uint32_t cum = dec.peek_cum();
 
     // CDF rows are small (tens of entries): linear scan beats binary search
     // in practice and matches the reference's lookup semantics.
     int32_t s = 0;
     while (s + 1 < cdf_len && static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
 
-    rans.advance(ptr, cdf[s], cdf[s + 1] - cdf[s], kPrecision);
+    dec.consume(cdf[s], cdf[s + 1] - cdf[s]);
 
     int32_t value = s;
     if (value == max_value) {
-      uint32_t val = rans.get_bits(ptr, kBypassBits);
+      uint32_t val = dec.bypass_bits();
       int32_t n_bypass = static_cast<int32_t>(val);
       while (val == kMaxBypassVal) {
-        val = rans.get_bits(ptr, kBypassBits);
+        val = dec.bypass_bits();
         n_bypass += static_cast<int32_t>(val);
       }
       uint32_t raw_val = 0;
       for (int32_t j = 0; j < n_bypass; ++j) {
-        raw_val |= rans.get_bits(ptr, kBypassBits) << (j * kBypassBits);
+        raw_val |= dec.bypass_bits() << (j * kBypassBits);
       }
       value = static_cast<int32_t>(raw_val >> 1);
       if (raw_val & 1u) {
@@ -234,6 +239,148 @@ int64_t decode_symbols(RansDecState &rans, const uint32_t **ptr,
     out[i] = value + t.offsets[cdf_idx];
   }
   return n;
+}
+
+// rANS bit-layer adapter for decode_symbols_t.
+struct RansSymDec {
+  RansDecState &rans;
+  const uint32_t **ptr;
+  inline uint32_t peek_cum() { return rans.peek(kPrecision); }
+  inline void consume(uint32_t start, uint32_t freq) {
+    rans.advance(ptr, start, freq, kPrecision);
+  }
+  inline uint32_t bypass_bits() { return rans.get_bits(ptr, kBypassBits); }
+};
+
+int64_t decode_symbols(RansDecState &rans, const uint32_t **ptr,
+                       const int32_t *indexes, int64_t n, const CdfView &t,
+                       int32_t *out) {
+  RansSymDec dec{rans, ptr};
+  return decode_symbols_t(dec, indexes, n, t, out);
+}
+
+// ---------------------------------------------------------------------------
+// Range coder (carry-propagating, byte-wise renormalization in the classic
+// LZMA/7-zip style) — the alternative host backend the reference exposes as
+// "rangecoder" (`compressai/__init__.py:22-62`, via the `range_coder` pip
+// package). Same symbol-level protocol as the rANS backend (shared
+// buffer_symbols / decode_symbols_t); only the bit layer differs. Bytes are
+// written FORWARD, so the decoder consumes symbols in encode order and no
+// reverse buffering is fundamentally required (the buffered encoder keeps
+// the same two-phase API as rANS for interface parity).
+// ---------------------------------------------------------------------------
+
+constexpr uint32_t kRcTop = 1u << 24;
+
+struct RcEncState {
+  uint64_t low = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint8_t cache = 0;
+  int64_t cache_size = 1;
+  std::vector<uint8_t> out;
+
+  inline void shift_low() {
+    if (static_cast<uint32_t>(low) < 0xFF000000u || (low >> 32) != 0) {
+      uint8_t b = cache;
+      const uint8_t carry = static_cast<uint8_t>(low >> 32);
+      do {
+        out.push_back(static_cast<uint8_t>(b + carry));
+        b = 0xFF;
+      } while (--cache_size != 0);
+      cache = static_cast<uint8_t>(static_cast<uint32_t>(low) >> 24);
+    }
+    ++cache_size;
+    // The departing byte (bits 24..31) lives in `cache` (or is a pending
+    // 0xFF tracked by cache_size); low keeps only bits 0..23, so any later
+    // overflow past 2^32 is exactly a +1 carry into the emitted bytes.
+    low = (low & 0x00FFFFFFull) << 8;
+  }
+
+  // Encode a symbol spanning [cum, cum+freq) of a 2^bits total.
+  inline void encode(uint32_t cum, uint32_t freq, uint32_t bits) {
+    range >>= bits;
+    low += static_cast<uint64_t>(cum) * range;
+    range *= freq;
+    while (range < kRcTop) {
+      range <<= 8;
+      shift_low();
+    }
+  }
+
+  inline void finish() {
+    for (int i = 0; i < 5; ++i) shift_low();
+  }
+};
+
+struct RcDecState {
+  const uint8_t *p = nullptr;
+  const uint8_t *end = nullptr;
+  uint32_t range = 0xFFFFFFFFu;
+  uint32_t code = 0;
+
+  inline uint8_t next() { return p < end ? *p++ : 0; }
+
+  inline void init(const uint8_t *stream, int64_t len) {
+    p = stream;
+    end = stream + len;
+    range = 0xFFFFFFFFu;
+    code = 0;
+    // 5 bytes: the encoder's first shift_low emits the initial zero cache.
+    for (int i = 0; i < 5; ++i) code = (code << 8) | next();
+  }
+
+  // Returns the cumulative-frequency threshold for a 2^bits total and
+  // commits range /= total (consume() must follow with the chosen bin).
+  inline uint32_t threshold(uint32_t bits) {
+    range >>= bits;
+    const uint32_t v = code / range;
+    const uint32_t cap = (1u << bits) - 1;
+    return v < cap ? v : cap;
+  }
+
+  inline void consume(uint32_t cum, uint32_t freq) {
+    code -= cum * range;
+    range *= freq;
+    while (range < kRcTop) {
+      code = (code << 8) | next();
+      range <<= 8;
+    }
+  }
+};
+
+// Range-coder bit-layer adapter for decode_symbols_t.
+struct RcSymDec {
+  RcDecState &rc;
+  inline uint32_t peek_cum() { return rc.threshold(kPrecision); }
+  inline void consume(uint32_t start, uint32_t freq) {
+    rc.consume(start, freq);
+  }
+  inline uint32_t bypass_bits() {
+    const uint32_t v = rc.threshold(kBypassBits);
+    rc.consume(v, 1);
+    return v;
+  }
+};
+
+// Forward-encode the buffered symbol triples with the range coder; same
+// capacity contract as flush_syms (caller sizes via stf_encoder_bound,
+// which over-covers the range coder's <= 2 B/symbol worst case).
+int64_t flush_syms_rc(std::vector<BufferedSym> &syms, uint8_t *out,
+                      int64_t out_cap) {
+  RcEncState rc;
+  rc.out.reserve(syms.size() * 2 + 8);
+  for (const BufferedSym &s : syms) {
+    if (!s.bypass) {
+      rc.encode(s.start, s.range, kPrecision);
+    } else {
+      rc.encode(s.start, 1, kBypassBits);
+    }
+  }
+  rc.finish();
+  if (out_cap < static_cast<int64_t>(rc.out.size())) return -1;
+  std::memcpy(out, rc.out.data(), rc.out.size());
+  syms.clear();
+  return static_cast<int64_t>(rc.out.size());
 }
 
 }  // namespace
@@ -414,6 +561,71 @@ int32_t stf_lane_encode(const int32_t *symbols, const int32_t *indexes,
     }
   }
   return 0;
+}
+
+// --- range coder backend ------------------------------------------------------
+
+// The buffered range-coder encoder reuses StfBufferedEncoder (identical
+// symbol-translation phase); only the flush differs. stf_encoder_bound's
+// (n+2)*4-byte capacity over-covers the range coder's <= ~2 B/symbol.
+int64_t stf_rc_encoder_flush(StfBufferedEncoder *enc, uint8_t *out,
+                             int64_t out_cap) {
+  return flush_syms_rc(enc->syms, out, out_cap);
+}
+
+int64_t stf_rc_encode_with_indexes(const int32_t *symbols,
+                                   const int32_t *indexes, int64_t n,
+                                   const int32_t *cdfs, int64_t cdf_stride,
+                                   const int32_t *cdf_lengths,
+                                   const int32_t *offsets, uint8_t *out,
+                                   int64_t out_cap) {
+  StfBufferedEncoder enc;
+  stf_encoder_buffer(&enc, symbols, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                     offsets);
+  return stf_rc_encoder_flush(&enc, out, out_cap);
+}
+
+int64_t stf_rc_decode_with_indexes(const uint8_t *stream, int64_t stream_len,
+                                   const int32_t *indexes, int64_t n,
+                                   const int32_t *cdfs, int64_t cdf_stride,
+                                   const int32_t *cdf_lengths,
+                                   const int32_t *offsets, int32_t *out) {
+  if (stream_len < 5) return -1;
+  CdfView t{cdfs, cdf_stride, cdf_lengths, offsets};
+  RcDecState rc;
+  rc.init(stream, stream_len);
+  RcSymDec dec{rc};
+  return decode_symbols_t(dec, indexes, n, t, out);
+}
+
+struct StfRcStreamDecoder {
+  std::vector<uint8_t> stream;
+  RcDecState rc;
+  bool ready = false;
+};
+
+StfRcStreamDecoder *stf_rc_decoder_new() { return new StfRcStreamDecoder(); }
+
+void stf_rc_decoder_free(StfRcStreamDecoder *dec) { delete dec; }
+
+int32_t stf_rc_decoder_set_stream(StfRcStreamDecoder *dec,
+                                  const uint8_t *stream, int64_t stream_len) {
+  if (stream_len < 5) return -1;
+  dec->stream.assign(stream, stream + stream_len);
+  dec->rc.init(dec->stream.data(), stream_len);
+  dec->ready = true;
+  return 0;
+}
+
+int64_t stf_rc_decoder_decode_stream(StfRcStreamDecoder *dec,
+                                     const int32_t *indexes, int64_t n,
+                                     const int32_t *cdfs, int64_t cdf_stride,
+                                     const int32_t *cdf_lengths,
+                                     const int32_t *offsets, int32_t *out) {
+  if (!dec->ready) return -1;
+  CdfView t{cdfs, cdf_stride, cdf_lengths, offsets};
+  RcSymDec d{dec->rc};
+  return decode_symbols_t(d, indexes, n, t, out);
 }
 
 // --- PMF -> quantized CDF ----------------------------------------------------

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ans import RansDecoder, RansEncoder, pmf_to_quantized_cdf_rows
+from ..ans import host_coder_classes, pmf_to_quantized_cdf_rows
 from ..ops import lower_bound
 
 # Ballé's TF-compression default scale grid (reference `models/cnn.py:14-20`).
@@ -395,7 +395,7 @@ class EntropyBottleneckCoder:
             np.arange(C, dtype=np.int32), symbols.shape[1:]
         )
         cdf, lengths, offsets = self.tables.astuple()
-        enc = RansEncoder()
+        enc = host_coder_classes()[1]()
         return [
             enc.encode_with_indexes(symbols[b], indexes, cdf, lengths, offsets)
             for b in range(B)
@@ -410,7 +410,7 @@ class EntropyBottleneckCoder:
         shape = tuple(spatial_shape) + (C,)
         indexes = np.broadcast_to(np.arange(C, dtype=np.int32), shape)
         cdf, lengths, offsets = self.tables.astuple()
-        dec = RansDecoder()
+        dec = host_coder_classes()[2]()
         out = np.empty((len(strings),) + shape, np.int32)
         for b, s in enumerate(strings):
             out[b] = dec.decode_with_indexes(
@@ -445,14 +445,14 @@ class GaussianConditionalCoder:
     def compress(self, y, indexes, means=None) -> bytes:
         symbols = self.quantize_symbols(y, means)
         cdf, lengths, offsets = self.tables.astuple()
-        return RansEncoder().encode_with_indexes(
+        return host_coder_classes()[1]().encode_with_indexes(
             symbols, indexes, cdf, lengths, offsets
         )
 
     def decompress(self, string: bytes, indexes, means=None) -> np.ndarray:
         cdf, lengths, offsets = self.tables.astuple()
         vals = (
-            RansDecoder()
+            host_coder_classes()[2]()
             .decode_with_indexes(string, indexes, cdf, lengths, offsets)
             .reshape(np.shape(indexes))
             .astype(np.float32)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ans import BufferedRansEncoder, RansDecoder
+from ..ans import host_coder_classes
 from ..entropy import (
     EntropyBottleneckCoder,
     GaussianConditionalCoder,
@@ -1197,7 +1197,7 @@ class Codec:
                 probe("drain", None)
             subs = self._sub_batches(y.shape[0])
             encoders = [
-                BufferedRansEncoder() for _ in range(y.shape[0])
+                host_coder_classes()[0]() for _ in range(y.shape[0])
             ]
             for key in sorted(pending):
                 _, k = key
@@ -1304,7 +1304,7 @@ class Codec:
                 )
             decoders = []
             for s in y_strings:
-                d = RansDecoder()
+                d = host_coder_classes()[2]()
                 d.set_stream(s)
                 decoders.append(d)
 
