@@ -124,3 +124,26 @@ def test_distill_loss():
     assert np.isfinite(float(loss))
     for k in ("rd_loss", "pred_loss", "cls_kl", "token_kl"):
         assert np.isfinite(float(parts[k]))
+
+
+def test_codec_lane_roundtrip(model_params):
+    """Lane backend through the dynamic-pruning family: the decode walk's
+    top-k routing must reproduce the host backend's reconstruction
+    bit-exactly on the shared-executable per-slice walk."""
+    model, params = model_params
+    host = Codec(model, params, coder="host")
+    lane = Codec(model, params, coder="lane")
+    x = np.asarray(jax.random.uniform(jax.random.key(12), (1, 64, 64, 3)))
+    enc_h = host.compress(x)
+    enc_l = lane.compress(x)
+    dec_f = lane.decompress(enc_l["strings"], enc_l["shape"])  # fused
+    lane.fused = False
+    dec_w = lane.decompress(enc_l["strings"], enc_l["shape"])
+    dec_h = host.decompress(enc_h["strings"], enc_h["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec_w["x_hat"]), np.asarray(dec_h["x_hat"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec_f["x_hat"]), np.asarray(dec_h["x_hat"]),
+        atol=1e-5, rtol=2e-2,
+    )
