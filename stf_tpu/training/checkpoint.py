@@ -1,0 +1,134 @@
+"""Training checkpoint backends.
+
+Two formats, selected by `train.py --ckpt-format`:
+
+* **msgpack** (default) — host-0 single-file flax serialization of the
+  full train state, with the reference-shaped `_best` copy and a
+  params-only sidecar for the eval CLI. Correct for data-parallel meshes
+  (params replicated); the whole state must fit on one host. This is the
+  direct analog of the reference's `torch.save` checkpoints
+  (`train.py:199-204,371-380`).
+* **orbax** — the TPU-idiomatic production format (SURVEY.md §5's rebuild
+  note): a *collective* multi-host save where every process writes only
+  the array shards it owns (so model-parallel state checkpoints without
+  ever being gathered to one host), asynchronous (training overlaps the
+  flush), with atomic step directories and retention. Layout under
+  `<save_dir>/`:
+
+      orbax/<epoch>/        rolling latest (keeps 2)
+      orbax_best/<epoch>/   best-by-test-loss (keeps 1)
+      params.msgpack        eval-CLI params sidecar (host 0)
+
+  Resume by passing the save dir itself: `--checkpoint <save_dir>`.
+
+Both backends carry the same metadata (epoch, loss, best_loss, model,
+lambda, metric) so resume restores the LR-schedule position and the
+best-checkpoint guard identically.
+"""
+
+import os
+from typing import Any, Dict, Tuple
+
+
+def _state_tree(state):
+    """The persisted subset of the train state (mirrors the msgpack
+    layout in `train.py:save_training_checkpoint`)."""
+    return {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+
+
+class OrbaxCheckpointer:
+    """Collective async train-state checkpointing via orbax.
+
+    Every process must call `save`/`restore` with the same epoch (the
+    caller guarantees agreement by all-reducing the test loss before the
+    `is_best` decision). `close()` blocks until pending async saves land.
+    """
+
+    LATEST = "orbax"
+    BEST = "orbax_best"
+
+    def __init__(self, save_dir: str):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.root = os.path.abspath(save_dir)
+        os.makedirs(self.root, exist_ok=True)
+        self._latest = ocp.CheckpointManager(
+            os.path.join(self.root, self.LATEST),
+            options=ocp.CheckpointManagerOptions(max_to_keep=2),
+        )
+        self._best = ocp.CheckpointManager(
+            os.path.join(self.root, self.BEST),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+        )
+
+    def _composite_save(self, state, meta: Dict):
+        ocp = self._ocp
+        return ocp.args.Composite(
+            state=ocp.args.StandardSave(_state_tree(state)),
+            meta=ocp.args.JsonSave(meta),
+        )
+
+    def save(self, state, epoch: int, loss: float, meta: Dict,
+             is_best: bool, best_loss: float) -> None:
+        import jax
+
+        meta = dict(
+            meta, epoch=int(epoch), loss=float(loss),
+            best_loss=float(best_loss),
+        )
+        self._latest.save(int(epoch), args=self._composite_save(state, meta))
+        if is_best:
+            self._best.save(int(epoch), args=self._composite_save(state, meta))
+        if jax.process_index() == 0 and meta.get("model"):
+            # params-only sidecar so the eval CLI / Codec can load this
+            # run without orbax (small: params are replicated or gathered
+            # leaf-by-leaf by NumPy conversion)
+            from ..zoo.checkpoint import save_checkpoint as save_params_ckpt
+
+            save_params_ckpt(
+                os.path.join(self.root, "params.msgpack"),
+                meta["model"], state.params,
+            )
+
+    def restore(self, state) -> Tuple[Any, Dict]:
+        """Restore the newest step from `orbax/` into `state`'s structure
+        (template arrays keep their shardings: shards land where the mesh
+        places them, never gathered through one host)."""
+        step = self._latest.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"no orbax checkpoint under {self.root}/{self.LATEST}"
+            )
+        ocp = self._ocp
+        restored = self._latest.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(_state_tree(state)),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        tree = restored["state"]
+        meta = dict(restored["meta"] or {})
+        state = state.replace(
+            params=tree["params"],
+            opt_state=tree["opt_state"],
+            step=int(tree["step"]),
+        )
+        return state, meta
+
+    def close(self) -> None:
+        self._latest.wait_until_finished()
+        self._best.wait_until_finished()
+        self._latest.close()
+        self._best.close()
+
+
+def is_orbax_checkpoint(path: str) -> bool:
+    """True if `path` is a train.py save dir with an orbax checkpoint
+    (used by the `--checkpoint` resume dispatch)."""
+    return os.path.isdir(os.path.join(path, OrbaxCheckpointer.LATEST))

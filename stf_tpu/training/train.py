@@ -42,6 +42,12 @@ def parse_args(argv):
     p.add_argument("--lr-gamma", type=float, default=0.1)
     p.add_argument("--save", action="store_true", default=True)
     p.add_argument("--save-dir", type=str, default="./ckpt")
+    p.add_argument(
+        "--ckpt-format", choices=["msgpack", "orbax"], default="msgpack",
+        help="msgpack: host-0 single file (reference-shaped); orbax: "
+        "collective multi-host sharded save, async, with retention "
+        "(resume with --checkpoint <save_dir>)",
+    )
     p.add_argument("--checkpoint", type=str, help="resume from checkpoint")
     p.add_argument(
         "--coordinator", type=str, default=None,
@@ -161,10 +167,27 @@ def main(argv=None):
         clip_max_norm=args.clip_max_norm,
     )
 
+    from .checkpoint import OrbaxCheckpointer, is_orbax_checkpoint
+
+    ckpt_backend = (
+        OrbaxCheckpointer(args.save_dir)
+        if args.save and args.ckpt_format == "orbax"
+        else None
+    )
+
     last_epoch = 0
     best_loss = float("inf")
     if args.checkpoint and os.path.exists(args.checkpoint):
-        state, meta = restore_training_checkpoint(args.checkpoint, state)
+        if is_orbax_checkpoint(args.checkpoint):
+            same_dir = ckpt_backend is not None and os.path.samefile(
+                args.checkpoint, args.save_dir
+            )
+            rb = ckpt_backend if same_dir else OrbaxCheckpointer(args.checkpoint)
+            state, meta = rb.restore(state)
+            if rb is not ckpt_backend:
+                rb.close()
+        else:
+            state, meta = restore_training_checkpoint(args.checkpoint, state)
         last_epoch = meta.get("epoch", 0) + 1
         # historical best (not the last epoch's loss) guards checkpoint_best
         best_loss = meta.get("best_loss", meta.get("loss", best_loss))
@@ -221,6 +244,18 @@ def main(argv=None):
                 totals[k] = totals.get(k, 0.0) + float(v)
             count += 1
         test_loss = totals.get("loss", float("inf")) / max(count, 1)
+        if n_proc > 1:
+            # each process evaluated its own shard: all-reduce so every
+            # host agrees on the loss (collective orbax saves need the
+            # is_best decision identical everywhere, and the logged value
+            # should cover the full test set like the reference's)
+            from jax.experimental import multihost_utils
+
+            test_loss = float(
+                np.mean(multihost_utils.process_allgather(
+                    np.asarray(test_loss, np.float64)
+                ))
+            )
         if main_proc:
             print(
                 f"Test epoch {epoch}: loss {test_loss:.4f} "
@@ -228,15 +263,27 @@ def main(argv=None):
                 f"[{time.time() - t0:.1f}s]"
             )
 
-        if args.save and main_proc:
+        if args.save:
             is_best = test_loss < best_loss
             best_loss = min(test_loss, best_loss)
-            save_training_checkpoint(
-                args.save_dir, state, epoch, test_loss, args, is_best,
-                best_loss=best_loss,
-            )
+            if ckpt_backend is not None:
+                # collective: every process participates, each writing
+                # only the shards it owns
+                ckpt_backend.save(
+                    state, epoch, test_loss,
+                    {"model": args.model, "lmbda": args.lmbda,
+                     "metric": args.metric},
+                    is_best, best_loss,
+                )
+            elif main_proc:
+                save_training_checkpoint(
+                    args.save_dir, state, epoch, test_loss, args, is_best,
+                    best_loss=best_loss,
+                )
         sync_global_devices("epoch")
 
+    if ckpt_backend is not None:
+        ckpt_backend.close()
     return state
 
 

@@ -66,6 +66,78 @@ def test_train_two_epochs_and_resume(tiny_dataset, tiny_registry, tmp_path):
     assert int(state2.step) == 3 * 3
 
 
+def test_orbax_checkpoint_roundtrip_bit_exact(tiny_registry, tmp_path):
+    """Orbax backend restores params/opt_state/step bit-identically
+    (collective sharded save; template arrays keep their shardings)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stf_tpu.training import create_train_state, make_train_step
+    from stf_tpu.training.checkpoint import (
+        OrbaxCheckpointer,
+        is_orbax_checkpoint,
+    )
+    from stf_tpu.zoo import models
+
+    model = models[tiny_registry]()
+    state = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+    )
+    # one real step so opt_state moments are non-trivial
+    step_fn = jax.jit(make_train_step(model, lmbda=0.01))
+    batch = jnp.asarray(
+        np.random.default_rng(0).random((2, 64, 64, 3), np.float32)
+    )
+    state, _ = step_fn(state, batch, jax.random.key(1))
+
+    save_dir = str(tmp_path / "ck")
+    ckpt = OrbaxCheckpointer(save_dir)
+    ckpt.save(state, epoch=0, loss=1.25,
+              meta={"model": tiny_registry, "lmbda": 0.01, "metric": "mse"},
+              is_best=True, best_loss=1.25)
+    ckpt.close()
+    assert is_orbax_checkpoint(save_dir)
+    assert os.path.exists(os.path.join(save_dir, "params.msgpack"))
+
+    fresh = create_train_state(
+        model, jax.random.key(7), input_shape=(1, 64, 64, 3)
+    )
+    restored, meta = OrbaxCheckpointer(save_dir).restore(fresh)
+    assert meta["epoch"] == 0 and meta["best_loss"] == 1.25
+    assert int(restored.step) == int(state.step)
+    for want, got in zip(
+        jax.tree_util.tree_leaves((state.params, state.opt_state)),
+        jax.tree_util.tree_leaves((restored.params, restored.opt_state)),
+    ):
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_train_orbax_format_and_resume(tiny_dataset, tiny_registry, tmp_path):
+    from stf_tpu.training.train import main
+
+    save_dir = str(tmp_path / "ckpt_orbax")
+    argv = [
+        "-m", tiny_registry,
+        "-d", tiny_dataset,
+        "-e", "2",
+        "--batch-size", "2",
+        "--test-batch-size", "2",
+        "--patch-size", "64", "64",
+        "--save-dir", save_dir,
+        "--ckpt-format", "orbax",
+        "--num-workers", "2",
+    ]
+    state = main(argv)
+    assert int(state.step) == 2 * 3
+    assert os.path.isdir(os.path.join(save_dir, "orbax"))
+    assert os.path.isdir(os.path.join(save_dir, "orbax_best"))
+    assert os.path.exists(os.path.join(save_dir, "params.msgpack"))
+
+    # resume from the save DIR (orbax dispatch) for one more epoch
+    state2 = main(argv + ["-e", "3", "--checkpoint", save_dir])
+    assert int(state2.step) == 3 * 3
+
+
 def test_eval_cli(tiny_dataset, tiny_registry, tmp_path, capsys):
     import jax
 
