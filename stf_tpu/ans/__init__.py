@@ -36,21 +36,29 @@ _HOST_CODERS = {
 }
 
 
-def host_coder_classes(name=None):
-    """(BufferedEncoder, Encoder, Decoder) classes for the named host
-    entropy backend; with no name, follows the package-level selection
-    (`stf_tpu.get_entropy_coder()`)."""
+def resolve_host_backend(name=None) -> str:
+    """Validated host-backend name; `None` resolves to the package-level
+    selection (`stf_tpu.get_entropy_coder()`). Long-lived objects (the
+    Codec, the entropy-model coders) snapshot this at construction so a
+    later registry flip can't silently decode a stream with the wrong
+    bit layer — the two backends' streams are NOT interoperable."""
     if name is None:
         import stf_tpu
 
         name = stf_tpu.get_entropy_coder()
-    try:
-        return _HOST_CODERS[name]
-    except KeyError:
+    if name not in _HOST_CODERS:
         raise ValueError(
             f"unknown host entropy coder {name!r} "
             f"(available: {', '.join(_HOST_CODERS)})"
-        ) from None
+        )
+    return name
+
+
+def host_coder_classes(name=None):
+    """(BufferedEncoder, Encoder, Decoder) classes for the named host
+    entropy backend; with no name, follows the package-level selection
+    (`stf_tpu.get_entropy_coder()`)."""
+    return _HOST_CODERS[resolve_host_backend(name)]
 
 
 __all__ = [
@@ -61,6 +69,7 @@ __all__ = [
     "RangeEncoder",
     "RangeDecoder",
     "host_coder_classes",
+    "resolve_host_backend",
     "pmf_to_quantized_cdf",
     "pmf_to_quantized_cdf_rows",
 ]

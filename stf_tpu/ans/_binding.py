@@ -37,13 +37,6 @@ _lib.stf_encoder_flush.argtypes = [ctypes.c_void_p, _u8p, ctypes.c_int64]
 _lib.stf_encoder_bound.restype = ctypes.c_int64
 _lib.stf_encoder_bound.argtypes = [ctypes.c_void_p]
 
-_lib.stf_encode_with_indexes.restype = ctypes.c_int64
-_lib.stf_encode_with_indexes.argtypes = [
-    _i32p, _i32p, ctypes.c_int64,
-    _i32p, ctypes.c_int64, _i32p, _i32p,
-    _u8p, ctypes.c_int64,
-]
-
 _lib.stf_decode_with_indexes.restype = ctypes.c_int64
 _lib.stf_decode_with_indexes.argtypes = [
     _u8p, ctypes.c_int64, _i32p, ctypes.c_int64,
@@ -66,12 +59,6 @@ _u16p = ctypes.POINTER(ctypes.c_uint16)
 # range-coder backend (same symbol protocol, forward byte-wise bit layer)
 _lib.stf_rc_encoder_flush.restype = ctypes.c_int64
 _lib.stf_rc_encoder_flush.argtypes = [ctypes.c_void_p, _u8p, ctypes.c_int64]
-_lib.stf_rc_encode_with_indexes.restype = ctypes.c_int64
-_lib.stf_rc_encode_with_indexes.argtypes = [
-    _i32p, _i32p, ctypes.c_int64,
-    _i32p, ctypes.c_int64, _i32p, _i32p,
-    _u8p, ctypes.c_int64,
-]
 _lib.stf_rc_decode_with_indexes.restype = ctypes.c_int64
 _lib.stf_rc_decode_with_indexes.argtypes = [
     _u8p, ctypes.c_int64, _i32p, ctypes.c_int64,
@@ -181,17 +168,27 @@ class RansEncoder:
         return enc.flush()
 
 
-class RansDecoder:
+class _HostDecoder:
     """Stateless (`decode_with_indexes`) and streaming (`set_stream` +
     `decode_stream`) decoding; the streaming form drives autoregressive
-    slice-by-slice decode."""
+    slice-by-slice decode. Subclasses bind one backend's native entry
+    points (class attributes, so both bit layers share one protocol
+    implementation and can't drift)."""
+
+    # subclass bindings: native ctors/entry points + display name
+    _c_new = _c_free = _c_decode = _c_set_stream = _c_decode_stream = None
+    _layer = "?"
 
     def __init__(self):
-        self._handle = _lib.stf_decoder_new()
+        self._handle = type(self)._c_new()
 
-    def __del__(self, _free=_lib.stf_decoder_free):
-        if getattr(self, "_handle", None):
-            _free(self._handle)
+    def __del__(self):
+        # class-attribute lookup keeps the free fn reachable at interpreter
+        # shutdown (the instance holds its class alive), like the
+        # default-arg idiom the encoders use
+        free = type(self)._c_free
+        if getattr(self, "_handle", None) and free is not None:
+            free(self._handle)
             self._handle = None
 
     def decode_with_indexes(
@@ -204,23 +201,23 @@ class RansDecoder:
         _check_indexes(indexes, cdfs)
         buf = np.frombuffer(stream, dtype=np.uint8)
         out = np.empty(indexes.size, dtype=np.int32)
-        n = _lib.stf_decode_with_indexes(
+        n = type(self)._c_decode(
             buf.ctypes.data_as(_u8p), buf.size,
             _i32_ptr(indexes), indexes.size,
             _i32_ptr(cdfs), cdfs.shape[1], _i32_ptr(cdf_lengths),
             _i32_ptr(offsets), _i32_ptr(out),
         )
         if n < 0:
-            raise RuntimeError("invalid rANS stream")
+            raise RuntimeError(f"invalid {self._layer} stream")
         return out
 
     def set_stream(self, stream: bytes) -> None:
         buf = np.frombuffer(stream, dtype=np.uint8)
-        rc = _lib.stf_decoder_set_stream(
+        rc = type(self)._c_set_stream(
             self._handle, buf.ctypes.data_as(_u8p), buf.size
         )
         if rc != 0:
-            raise RuntimeError("invalid rANS stream")
+            raise RuntimeError(f"invalid {self._layer} stream")
 
     def decode_stream(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
         indexes = _as_i32(indexes)
@@ -229,7 +226,7 @@ class RansDecoder:
         offsets = _as_i32(offsets)
         _check_indexes(indexes, cdfs)
         out = np.empty(indexes.size, dtype=np.int32)
-        n = _lib.stf_decoder_decode_stream(
+        n = type(self)._c_decode_stream(
             self._handle,
             _i32_ptr(indexes), indexes.size,
             _i32_ptr(cdfs), cdfs.shape[1], _i32_ptr(cdf_lengths),
@@ -238,6 +235,17 @@ class RansDecoder:
         if n < 0:
             raise RuntimeError("decode_stream called before set_stream")
         return out
+
+
+class RansDecoder(_HostDecoder):
+    """rANS bit-layer decoder (reference stream contract)."""
+
+    _c_new = _lib.stf_decoder_new
+    _c_free = _lib.stf_decoder_free
+    _c_decode = _lib.stf_decode_with_indexes
+    _c_set_stream = _lib.stf_decoder_set_stream
+    _c_decode_stream = _lib.stf_decoder_decode_stream
+    _layer = "rANS"
 
 
 class BufferedRangeEncoder(BufferedRansEncoder):
@@ -268,62 +276,15 @@ class RangeEncoder:
         return enc.flush()
 
 
-class RangeDecoder:
-    """Stateless + streaming range-coder decoding (API twin of
-    RansDecoder)."""
+class RangeDecoder(_HostDecoder):
+    """Range-coder bit-layer decoder (API twin of RansDecoder)."""
 
-    def __init__(self):
-        self._handle = _lib.stf_rc_decoder_new()
-
-    def __del__(self, _free=_lib.stf_rc_decoder_free):
-        if getattr(self, "_handle", None):
-            _free(self._handle)
-            self._handle = None
-
-    def decode_with_indexes(
-        self, stream: bytes, indexes, cdfs, cdf_lengths, offsets
-    ) -> np.ndarray:
-        indexes = _as_i32(indexes)
-        cdfs = _as_cdf_table(cdfs)
-        cdf_lengths = _as_i32(cdf_lengths)
-        offsets = _as_i32(offsets)
-        _check_indexes(indexes, cdfs)
-        buf = np.frombuffer(stream, dtype=np.uint8)
-        out = np.empty(indexes.size, dtype=np.int32)
-        n = _lib.stf_rc_decode_with_indexes(
-            buf.ctypes.data_as(_u8p), buf.size,
-            _i32_ptr(indexes), indexes.size,
-            _i32_ptr(cdfs), cdfs.shape[1], _i32_ptr(cdf_lengths),
-            _i32_ptr(offsets), _i32_ptr(out),
-        )
-        if n < 0:
-            raise RuntimeError("invalid range-coder stream")
-        return out
-
-    def set_stream(self, stream: bytes) -> None:
-        buf = np.frombuffer(stream, dtype=np.uint8)
-        rc = _lib.stf_rc_decoder_set_stream(
-            self._handle, buf.ctypes.data_as(_u8p), buf.size
-        )
-        if rc != 0:
-            raise RuntimeError("invalid range-coder stream")
-
-    def decode_stream(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
-        indexes = _as_i32(indexes)
-        cdfs = _as_cdf_table(cdfs)
-        cdf_lengths = _as_i32(cdf_lengths)
-        offsets = _as_i32(offsets)
-        _check_indexes(indexes, cdfs)
-        out = np.empty(indexes.size, dtype=np.int32)
-        n = _lib.stf_rc_decoder_decode_stream(
-            self._handle,
-            _i32_ptr(indexes), indexes.size,
-            _i32_ptr(cdfs), cdfs.shape[1], _i32_ptr(cdf_lengths),
-            _i32_ptr(offsets), _i32_ptr(out),
-        )
-        if n < 0:
-            raise RuntimeError("decode_stream called before set_stream")
-        return out
+    _c_new = _lib.stf_rc_decoder_new
+    _c_free = _lib.stf_rc_decoder_free
+    _c_decode = _lib.stf_rc_decode_with_indexes
+    _c_set_stream = _lib.stf_rc_decoder_set_stream
+    _c_decode_stream = _lib.stf_rc_decoder_decode_stream
+    _layer = "range-coder"
 
 
 def lane_encode_groups(symbols, indexes, tg, groups, lanes,

@@ -423,19 +423,6 @@ int64_t stf_encoder_bound(const StfBufferedEncoder *enc) {
   return static_cast<int64_t>(enc->syms.size() + 2) * 4;
 }
 
-// --- one-shot encode --------------------------------------------------------
-
-int64_t stf_encode_with_indexes(const int32_t *symbols, const int32_t *indexes,
-                                int64_t n, const int32_t *cdfs,
-                                int64_t cdf_stride, const int32_t *cdf_lengths,
-                                const int32_t *offsets, uint8_t *out,
-                                int64_t out_cap) {
-  StfBufferedEncoder enc;
-  stf_encoder_buffer(&enc, symbols, indexes, n, cdfs, cdf_stride, cdf_lengths,
-                     offsets);
-  return stf_encoder_flush(&enc, out, out_cap);
-}
-
 // --- stateless decode -------------------------------------------------------
 
 int64_t stf_decode_with_indexes(const uint8_t *stream, int64_t stream_len,
@@ -571,18 +558,6 @@ int32_t stf_lane_encode(const int32_t *symbols, const int32_t *indexes,
 int64_t stf_rc_encoder_flush(StfBufferedEncoder *enc, uint8_t *out,
                              int64_t out_cap) {
   return flush_syms_rc(enc->syms, out, out_cap);
-}
-
-int64_t stf_rc_encode_with_indexes(const int32_t *symbols,
-                                   const int32_t *indexes, int64_t n,
-                                   const int32_t *cdfs, int64_t cdf_stride,
-                                   const int32_t *cdf_lengths,
-                                   const int32_t *offsets, uint8_t *out,
-                                   int64_t out_cap) {
-  StfBufferedEncoder enc;
-  stf_encoder_buffer(&enc, symbols, indexes, n, cdfs, cdf_stride, cdf_lengths,
-                     offsets);
-  return stf_rc_encoder_flush(&enc, out, out_cap);
 }
 
 int64_t stf_rc_decode_with_indexes(const uint8_t *stream, int64_t stream_len,

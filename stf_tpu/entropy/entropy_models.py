@@ -34,7 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ans import host_coder_classes, pmf_to_quantized_cdf_rows
+from ..ans import (
+    host_coder_classes,
+    pmf_to_quantized_cdf_rows,
+    resolve_host_backend,
+)
 from ..ops import lower_bound
 
 # Ballé's TF-compression default scale grid (reference `models/cnn.py:14-20`).
@@ -375,9 +379,14 @@ class EntropyBottleneckCoder:
     (reference protocol, `entropy_models.py:203-290,491-522`).
     """
 
-    def __init__(self, tables: CdfTables, medians: np.ndarray):
+    def __init__(self, tables: CdfTables, medians: np.ndarray,
+                 backend: Optional[str] = None):
         self.tables = tables
         self.medians = np.asarray(medians, np.float32)  # (C,)
+        # snapshot the host entropy backend NOW: compress and decompress
+        # must use the same bit layer even if the package registry is
+        # flipped between the two calls (streams are not interoperable)
+        self.backend = resolve_host_backend(backend)
 
     def compress(self, z: np.ndarray) -> list:
         z = np.asarray(z, np.float32)
@@ -395,7 +404,7 @@ class EntropyBottleneckCoder:
             np.arange(C, dtype=np.int32), symbols.shape[1:]
         )
         cdf, lengths, offsets = self.tables.astuple()
-        enc = host_coder_classes()[1]()
+        enc = host_coder_classes(self.backend)[1]()
         return [
             enc.encode_with_indexes(symbols[b], indexes, cdf, lengths, offsets)
             for b in range(B)
@@ -410,7 +419,7 @@ class EntropyBottleneckCoder:
         shape = tuple(spatial_shape) + (C,)
         indexes = np.broadcast_to(np.arange(C, dtype=np.int32), shape)
         cdf, lengths, offsets = self.tables.astuple()
-        dec = host_coder_classes()[2]()
+        dec = host_coder_classes(self.backend)[2]()
         out = np.empty((len(strings),) + shape, np.int32)
         for b, s in enumerate(strings):
             out[b] = dec.decode_with_indexes(
@@ -426,9 +435,12 @@ class EntropyBottleneckCoder:
 class GaussianConditionalCoder:
     """Host-side helpers for coding Gaussian-conditioned latents."""
 
-    def __init__(self, tables: CdfTables, scale_table: np.ndarray):
+    def __init__(self, tables: CdfTables, scale_table: np.ndarray,
+                 backend: Optional[str] = None):
         self.tables = tables
         self.scale_table = np.asarray(scale_table, np.float32)
+        # see EntropyBottleneckCoder: pin the backend at construction
+        self.backend = resolve_host_backend(backend)
 
     def build_indexes(self, scales: np.ndarray) -> np.ndarray:
         scales = np.maximum(np.asarray(scales, np.float32), SCALE_BOUND)
@@ -445,14 +457,14 @@ class GaussianConditionalCoder:
     def compress(self, y, indexes, means=None) -> bytes:
         symbols = self.quantize_symbols(y, means)
         cdf, lengths, offsets = self.tables.astuple()
-        return host_coder_classes()[1]().encode_with_indexes(
+        return host_coder_classes(self.backend)[1]().encode_with_indexes(
             symbols, indexes, cdf, lengths, offsets
         )
 
     def decompress(self, string: bytes, indexes, means=None) -> np.ndarray:
         cdf, lengths, offsets = self.tables.astuple()
         vals = (
-            host_coder_classes()[2]()
+            host_coder_classes(self.backend)[2]()
             .decode_with_indexes(string, indexes, cdf, lengths, offsets)
             .reshape(np.shape(indexes))
             .astype(np.float32)

@@ -432,13 +432,22 @@ class Codec:
         if scale_table is not None:
             self.scale_table = np.asarray(scale_table, np.float32)
         self._build_table_programs()
+        # pin the HOST entropy backend (rans/rangecoder) for this codec's
+        # lifetime: a registry flip between compress and decompress would
+        # otherwise decode one backend's bytes with the other's bit layer
+        # and return garbage symbols silently
+        from ..ans import resolve_host_backend
+
+        self.host_backend = resolve_host_backend()
         eb_params = self.params["entropy_bottleneck"]
         self.eb_coder = EntropyBottleneckCoder(
             build_eb_tables(eb_params),
             np.asarray(eb_params["quantiles"])[:, 0, 1],
+            backend=self.host_backend,
         )
         self.gc_coder = GaussianConditionalCoder(
-            build_gc_tables(self.scale_table), self.scale_table
+            build_gc_tables(self.scale_table), self.scale_table,
+            backend=self.host_backend,
         )
         if self.coder == "lane":
             from ..ans import lane_coder as lc
@@ -1197,7 +1206,8 @@ class Codec:
                 probe("drain", None)
             subs = self._sub_batches(y.shape[0])
             encoders = [
-                host_coder_classes()[0]() for _ in range(y.shape[0])
+                host_coder_classes(self.host_backend)[0]()
+                for _ in range(y.shape[0])
             ]
             for key in sorted(pending):
                 _, k = key
@@ -1304,7 +1314,7 @@ class Codec:
                 )
             decoders = []
             for s in y_strings:
-                d = host_coder_classes()[2]()
+                d = host_coder_classes(self.host_backend)[2]()
                 d.set_stream(s)
                 decoders.append(d)
 

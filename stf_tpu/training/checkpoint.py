@@ -17,7 +17,8 @@ Two formats, selected by `train.py --ckpt-format`:
 
       orbax/<epoch>/        rolling latest (keeps 2)
       orbax_best/<epoch>/   best-by-test-loss (keeps 1)
-      params.msgpack        eval-CLI params sidecar (host 0)
+      params.msgpack        eval-CLI params sidecar, latest epoch
+      params_best.msgpack   eval-CLI params sidecar, best test loss
 
   Resume by passing the save dir itself: `--checkpoint <save_dir>`.
 
@@ -28,6 +29,35 @@ best-checkpoint guard identically.
 
 import os
 from typing import Any, Dict, Tuple
+
+
+def _host_params(params):
+    """Fetch every params leaf to host NumPy on EVERY process.
+
+    Replicated or fully-addressable leaves convert directly; a
+    model-parallel leaf whose shards span processes is collectively
+    all-gathered (so this must be called by all processes together —
+    it is, from `OrbaxCheckpointer.save`). Keeps the params-only
+    msgpack sidecar writable even when the train state itself is
+    sharded across hosts."""
+    import jax
+    import numpy as np
+
+    gathered = None  # lazy: the collective import only when needed
+
+    def fetch(x):
+        nonlocal gathered
+        if isinstance(x, jax.Array) and not (
+            x.is_fully_addressable or x.is_fully_replicated
+        ):
+            if gathered is None:
+                from jax.experimental import multihost_utils
+
+                gathered = multihost_utils.process_allgather
+            return np.asarray(gathered(x))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, params)
 
 
 def _state_tree(state):
@@ -51,20 +81,30 @@ class OrbaxCheckpointer:
     LATEST = "orbax"
     BEST = "orbax_best"
 
-    def __init__(self, save_dir: str):
+    def __init__(self, save_dir: str, read_only: bool = False):
+        """`read_only=True` opens an EXISTING checkpoint dir purely for
+        restore — no makedirs, no retention sweeps, no manager metadata
+        writes (used when resuming from a foreign/shared run dir that
+        this process must not modify)."""
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
+        self.read_only = bool(read_only)
         self.root = os.path.abspath(save_dir)
-        os.makedirs(self.root, exist_ok=True)
+        if not self.read_only:
+            os.makedirs(self.root, exist_ok=True)
         self._latest = ocp.CheckpointManager(
             os.path.join(self.root, self.LATEST),
-            options=ocp.CheckpointManagerOptions(max_to_keep=2),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=2, read_only=self.read_only,
+            ),
         )
-        self._best = ocp.CheckpointManager(
-            os.path.join(self.root, self.BEST),
-            options=ocp.CheckpointManagerOptions(max_to_keep=1),
-        )
+        self._best = None
+        if not self.read_only:
+            self._best = ocp.CheckpointManager(
+                os.path.join(self.root, self.BEST),
+                options=ocp.CheckpointManagerOptions(max_to_keep=1),
+            )
 
     def _composite_save(self, state, meta: Dict):
         ocp = self._ocp
@@ -77,6 +117,10 @@ class OrbaxCheckpointer:
              is_best: bool, best_loss: float) -> None:
         import jax
 
+        if self.read_only:
+            raise RuntimeError(
+                f"OrbaxCheckpointer({self.root!r}) was opened read_only"
+            )
         meta = dict(
             meta, epoch=int(epoch), loss=float(loss),
             best_loss=float(best_loss),
@@ -84,16 +128,26 @@ class OrbaxCheckpointer:
         self._latest.save(int(epoch), args=self._composite_save(state, meta))
         if is_best:
             self._best.save(int(epoch), args=self._composite_save(state, meta))
-        if jax.process_index() == 0 and meta.get("model"):
-            # params-only sidecar so the eval CLI / Codec can load this
-            # run without orbax (small: params are replicated or gathered
-            # leaf-by-leaf by NumPy conversion)
-            from ..zoo.checkpoint import save_checkpoint as save_params_ckpt
+        if meta.get("model"):
+            # params-only sidecars so the eval CLI / Codec can load this
+            # run without orbax: params.msgpack tracks the latest epoch,
+            # params_best.msgpack the best test loss (matching the msgpack
+            # backend's layout). The host fetch is collective — sharded
+            # leaves all-gather across processes — so EVERY process
+            # executes it; only host 0 writes the files.
+            host_params = _host_params(state.params)
+            if jax.process_index() == 0:
+                from ..zoo.checkpoint import save_checkpoint as save_params_ckpt
 
-            save_params_ckpt(
-                os.path.join(self.root, "params.msgpack"),
-                meta["model"], state.params,
-            )
+                save_params_ckpt(
+                    os.path.join(self.root, "params.msgpack"),
+                    meta["model"], host_params,
+                )
+                if is_best:
+                    save_params_ckpt(
+                        os.path.join(self.root, "params_best.msgpack"),
+                        meta["model"], host_params,
+                    )
 
     def restore(self, state) -> Tuple[Any, Dict]:
         """Restore the newest step from `orbax/` into `state`'s structure
@@ -123,9 +177,10 @@ class OrbaxCheckpointer:
 
     def close(self) -> None:
         self._latest.wait_until_finished()
-        self._best.wait_until_finished()
         self._latest.close()
-        self._best.close()
+        if self._best is not None:
+            self._best.wait_until_finished()
+            self._best.close()
 
 
 def is_orbax_checkpoint(path: str) -> bool:

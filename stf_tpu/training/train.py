@@ -182,7 +182,12 @@ def main(argv=None):
             same_dir = ckpt_backend is not None and os.path.samefile(
                 args.checkpoint, args.save_dir
             )
-            rb = ckpt_backend if same_dir else OrbaxCheckpointer(args.checkpoint)
+            # a foreign run dir is only READ here — open it read_only so
+            # restore can't mkdir/retain/touch manager metadata in it
+            rb = (
+                ckpt_backend if same_dir
+                else OrbaxCheckpointer(args.checkpoint, read_only=True)
+            )
             state, meta = rb.restore(state)
             if rb is not ckpt_backend:
                 rb.close()
@@ -210,80 +215,81 @@ def main(argv=None):
             return jax.device_put(batch, data_sh)
         return jax.make_array_from_process_local_data(data_sh, batch)
 
-    for epoch in range(last_epoch, args.epochs):
-        t0 = time.time()
-        lr_now = schedule(int(state.step))
-        if main_proc:
-            print(f"Learning rate: {float(lr_now):.2e}")
-        it = train_ds.batches(
-            local_batch,
-            epoch=epoch,
-            num_workers=args.num_workers,
-            shard=(jax.process_index(), n_proc),
-        )
-        # double-buffered H2D: upload batch i+1 while the device runs step i
-        for i, batch in enumerate(prefetch_to_device(it, size=2, put=put_global)):
-            state, metrics = p_train_step(state, batch, rng)
-            if main_proc and i % args.log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+    try:
+        for epoch in range(last_epoch, args.epochs):
+            t0 = time.time()
+            lr_now = schedule(int(state.step))
+            if main_proc:
+                print(f"Learning rate: {float(lr_now):.2e}")
+            it = train_ds.batches(
+                local_batch,
+                epoch=epoch,
+                num_workers=args.num_workers,
+                shard=(jax.process_index(), n_proc),
+            )
+            # double-buffered H2D: upload batch i+1 while the device runs
+            # step i
+            for i, batch in enumerate(
+                prefetch_to_device(it, size=2, put=put_global)
+            ):
+                state, metrics = p_train_step(state, batch, rng)
+                if main_proc and i % args.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    print(
+                        f"Train epoch {epoch}: [{i * args.batch_size}/"
+                        f"{len(train_ds)}] "
+                        f"Loss: {m['loss']:.4f} | "
+                        f"Distortion: {m['distortion']:.5f} | "
+                        f"Bpp: {m['bpp_loss']:.3f} | Aux: {m['aux_loss']:.1f}"
+                    )
+
+            # per-epoch eval (all hosts compute; host 0 logs/saves)
+            totals, count = {}, 0
+            for batch in test_ds.batches(
+                local_batch, epoch=0, num_workers=args.num_workers,
+                shard=(jax.process_index(), n_proc),
+            ):
+                m = p_eval_step(state.params, put_global(batch))
+                for k, v in m.items():
+                    totals[k] = totals.get(k, 0.0) + float(v)
+                count += 1
+            # test_loss already agrees across processes: each eval batch is
+            # GLOBAL (put_global assembles every process's shard rows into
+            # one sharded array) and p_eval_step's outputs are replicated —
+            # so the is_best decision the collective orbax save depends on
+            # is identical everywhere, and the loss covers the full test
+            # set.
+            test_loss = totals.get("loss", float("inf")) / max(count, 1)
+            if main_proc:
                 print(
-                    f"Train epoch {epoch}: [{i * args.batch_size}/"
-                    f"{len(train_ds)}] "
-                    f"Loss: {m['loss']:.4f} | Distortion: {m['distortion']:.5f} | "
-                    f"Bpp: {m['bpp_loss']:.3f} | Aux: {m['aux_loss']:.1f}"
+                    f"Test epoch {epoch}: loss {test_loss:.4f} "
+                    f"(bpp {totals.get('bpp_loss', 0) / max(count, 1):.3f}) "
+                    f"[{time.time() - t0:.1f}s]"
                 )
 
-        # per-epoch eval (all hosts compute; host 0 logs/saves)
-        totals, count = {}, 0
-        for batch in test_ds.batches(
-            local_batch, epoch=0, num_workers=args.num_workers,
-            shard=(jax.process_index(), n_proc),
-        ):
-            m = p_eval_step(state.params, put_global(batch))
-            for k, v in m.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-            count += 1
-        test_loss = totals.get("loss", float("inf")) / max(count, 1)
-        if n_proc > 1:
-            # each process evaluated its own shard: all-reduce so every
-            # host agrees on the loss (collective orbax saves need the
-            # is_best decision identical everywhere, and the logged value
-            # should cover the full test set like the reference's)
-            from jax.experimental import multihost_utils
-
-            test_loss = float(
-                np.mean(multihost_utils.process_allgather(
-                    np.asarray(test_loss, np.float64)
-                ))
-            )
-        if main_proc:
-            print(
-                f"Test epoch {epoch}: loss {test_loss:.4f} "
-                f"(bpp {totals.get('bpp_loss', 0) / max(count, 1):.3f}) "
-                f"[{time.time() - t0:.1f}s]"
-            )
-
-        if args.save:
-            is_best = test_loss < best_loss
-            best_loss = min(test_loss, best_loss)
-            if ckpt_backend is not None:
-                # collective: every process participates, each writing
-                # only the shards it owns
-                ckpt_backend.save(
-                    state, epoch, test_loss,
-                    {"model": args.model, "lmbda": args.lmbda,
-                     "metric": args.metric},
-                    is_best, best_loss,
-                )
-            elif main_proc:
-                save_training_checkpoint(
-                    args.save_dir, state, epoch, test_loss, args, is_best,
-                    best_loss=best_loss,
-                )
-        sync_global_devices("epoch")
-
-    if ckpt_backend is not None:
-        ckpt_backend.close()
+            if args.save:
+                is_best = test_loss < best_loss
+                best_loss = min(test_loss, best_loss)
+                if ckpt_backend is not None:
+                    # collective: every process participates, each writing
+                    # only the shards it owns
+                    ckpt_backend.save(
+                        state, epoch, test_loss,
+                        {"model": args.model, "lmbda": args.lmbda,
+                         "metric": args.metric},
+                        is_best, best_loss,
+                    )
+                elif main_proc:
+                    save_training_checkpoint(
+                        args.save_dir, state, epoch, test_loss, args, is_best,
+                        best_loss=best_loss,
+                    )
+            sync_global_devices("epoch")
+    finally:
+        # always drain pending async orbax saves — an exception (or ^C)
+        # mid-epoch must not abandon an in-flight step directory
+        if ckpt_backend is not None:
+            ckpt_backend.close()
     return state
 
 

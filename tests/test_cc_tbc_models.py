@@ -105,7 +105,7 @@ def test_cc_lane_backend_matches_host():
     this pins it for the non-attention family too)."""
     from stf_tpu.models.cc import CC
 
-    model = CC(N=32, M=40, num_slices=4, max_support_slices=2)
+    model = CC(**CC_SMALL)
     variables = model.init(
         {"params": jax.random.key(0), "noise": jax.random.key(1)},
         jnp.zeros((1, 64, 64, 3)),

@@ -104,9 +104,16 @@ def test_registry():
 
 
 def test_codec_backend_selection():
-    """With the registry set to "rangecoder", the host codec path must
-    produce bit-identical reconstructions to the rANS backend (the walk
-    and symbols are backend-independent), from different stream bytes."""
+    """A codec built with the registry at "rangecoder" must produce
+    bit-identical reconstructions to the rANS backend (the walk and
+    symbols are backend-independent), from different stream bytes.
+
+    The backend is snapshotted at Codec CONSTRUCTION (reference
+    semantics: `EntropyModel.__init__` pins its coder,
+    `compressai/entropy_models/entropy_models.py:80-90`): the two
+    backends' bit layers are not interoperable, so a later registry flip
+    must never change what a live codec decodes with (see
+    test_codec_pins_backend_at_construction)."""
     model = WACNN(N=32, M=40, num_slices=4, max_support_slices=2)
     state = create_train_state(
         model, jax.random.key(0), input_shape=(1, 64, 64, 3)
@@ -114,13 +121,16 @@ def test_codec_backend_selection():
     x = np.asarray(jax.random.uniform(jax.random.key(41), (2, 64, 64, 3)))
 
     codec = Codec(model, state.params, coder="host")
+    assert codec.host_backend == "rans"
     enc_rans = codec.compress(x)
     dec_rans = codec.decompress(enc_rans["strings"], enc_rans["shape"])
 
     stf_tpu.set_entropy_coder("rangecoder")
     try:
-        enc_rc = codec.compress(x)
-        dec_rc = codec.decompress(enc_rc["strings"], enc_rc["shape"])
+        codec_rc = Codec(model, state.params, coder="host")
+        assert codec_rc.host_backend == "rangecoder"
+        enc_rc = codec_rc.compress(x)
+        dec_rc = codec_rc.decompress(enc_rc["strings"], enc_rc["shape"])
     finally:
         stf_tpu.set_entropy_coder("rans")
 
@@ -128,5 +138,21 @@ def test_codec_backend_selection():
     np.testing.assert_array_equal(
         np.asarray(dec_rc["x_hat"]), np.asarray(dec_rans["x_hat"])
     )
-    # z-streams (EntropyBottleneckCoder) follow the registry too
+    # z-streams (EntropyBottleneckCoder) follow the snapshot too
     assert enc_rc["strings"][1][0] != enc_rans["strings"][1][0]
+
+    # pinning regression: flipping the registry between compress and
+    # decompress must NOT change the bit layer a live codec uses —
+    # decoding rans bytes with the range coder would return garbage
+    # symbols silently
+    stf_tpu.set_entropy_coder("rangecoder")
+    try:
+        dec_pinned = codec.decompress(enc_rans["strings"], enc_rans["shape"])
+        enc_pinned = codec.compress(x)
+    finally:
+        stf_tpu.set_entropy_coder("rans")
+    np.testing.assert_array_equal(
+        np.asarray(dec_pinned["x_hat"]), np.asarray(dec_rans["x_hat"])
+    )
+    assert enc_pinned["strings"][0][0] == enc_rans["strings"][0][0]
+    assert enc_pinned["strings"][1][0] == enc_rans["strings"][1][0]

@@ -97,12 +97,20 @@ def test_orbax_checkpoint_roundtrip_bit_exact(tiny_registry, tmp_path):
               is_best=True, best_loss=1.25)
     ckpt.close()
     assert is_orbax_checkpoint(save_dir)
+    # is_best=True writes BOTH eval-CLI sidecars
     assert os.path.exists(os.path.join(save_dir, "params.msgpack"))
+    assert os.path.exists(os.path.join(save_dir, "params_best.msgpack"))
 
     fresh = create_train_state(
         model, jax.random.key(7), input_shape=(1, 64, 64, 3)
     )
-    restored, meta = OrbaxCheckpointer(save_dir).restore(fresh)
+    # restore through the read_only path (the foreign --checkpoint
+    # dispatch): no writes to the source dir, and save() refuses
+    ro = OrbaxCheckpointer(save_dir, read_only=True)
+    restored, meta = ro.restore(fresh)
+    with pytest.raises(RuntimeError, match="read_only"):
+        ro.save(state, 1, 1.0, {}, False, 1.0)
+    ro.close()
     assert meta["epoch"] == 0 and meta["best_loss"] == 1.25
     assert int(restored.step) == int(state.step)
     for want, got in zip(
