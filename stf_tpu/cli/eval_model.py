@@ -182,6 +182,7 @@ def eval_model(
     batch_size=1,
     backend="host",
     fused_encode=False,
+    transform_chunks=1,
 ):
     if half and entropy_estimation:
         # estimation path has no coder: plain bf16 params are fine
@@ -203,6 +204,8 @@ def eval_model(
             model, params, coder=backend,
             dtype=jnp.bfloat16 if half else None,
             fused_encode=fused_encode,
+            analyze_chunks=transform_chunks,
+            synth_chunks=transform_chunks,
         )
     )
     apply_jit = (
@@ -304,6 +307,15 @@ def setup_args():
         "overflowing inputs fall back to the per-slice walk",
     )
     p.add_argument(
+        "--transform-chunks",
+        type=int,
+        default=1,
+        help="run analyze/synthesize over the batch in this many lax.map "
+        "chunks inside one jitted program (shrinks peak HBM ~chunks-fold "
+        "at large --batch-size, e.g. the Swin family at batch 24 full-res; "
+        "ignored when the batch is not divisible)",
+    )
+    p.add_argument(
         "--profile-dir",
         type=str,
         default=None,
@@ -351,6 +363,7 @@ def main(argv=None):
                 batch_size=args.batch_size,
                 backend=args.backend,
                 fused_encode=args.fused_encode,
+                transform_chunks=args.transform_chunks,
             )
             for k, v in metrics.items():
                 results[k].append(v)

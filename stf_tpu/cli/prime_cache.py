@@ -88,6 +88,11 @@ def main(argv=None):
         help="prime the one-dispatch fused encode program "
         "(mirror of eval_model --fused-encode)",
     )
+    p.add_argument(
+        "--transform-chunks", type=int, default=1,
+        help="prime the lax.map-chunked analyze/synthesize variants "
+        "(mirror of eval_model --transform-chunks)",
+    )
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -99,6 +104,8 @@ def main(argv=None):
     codec = Codec(
         model, params, dtype=jnp.bfloat16 if args.half else None,
         coder=args.backend, fused_encode=args.fused_encode,
+        analyze_chunks=args.transform_chunks,
+        synth_chunks=args.transform_chunks,
     )
     prime(
         codec,

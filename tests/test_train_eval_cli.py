@@ -302,6 +302,46 @@ def test_eval_cli_batched(tiny_dataset, tiny_registry, tmp_path, capsys):
     assert len(os.listdir(tmp_path / "recon_b")) == 2
 
 
+def test_eval_cli_transform_chunks(tiny_dataset, tiny_registry, tmp_path,
+                                   capsys):
+    """--transform-chunks runs analyze/synthesize as lax.map chunks inside
+    the jitted transforms (the HBM lever for large batches): metrics must
+    match the unchunked batched run (same math, chunked schedule)."""
+    import jax
+
+    from stf_tpu.cli.eval_model import main as eval_main
+    from stf_tpu.training import create_train_state
+    from stf_tpu.zoo import models, save_checkpoint
+
+    model = models[tiny_registry]()
+    state = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+    )
+    ckpt = str(tmp_path / "mc.msgpack")
+    save_checkpoint(ckpt, tiny_registry, state.params)
+
+    results = {}
+    for chunks in ("1", "2"):
+        eval_main(
+            [
+                "-d", os.path.join(tiny_dataset, "test"),
+                "-a", tiny_registry,
+                "-p", ckpt,
+                "-r", str(tmp_path / f"recon_c{chunks}"),
+                "--batch-size", "2",
+                "--transform-chunks", chunks,
+            ]
+        )
+        results[chunks] = json.loads(capsys.readouterr().out)["results"]
+    assert results["2"]["bpp"][0] > 0
+    np.testing.assert_allclose(
+        results["2"]["bpp"][0], results["1"]["bpp"][0], rtol=0.02
+    )
+    np.testing.assert_allclose(
+        results["2"]["psnr"][0], results["1"]["psnr"][0], rtol=1e-3
+    )
+
+
 @pytest.mark.parametrize("arch", ["cnn", "stf"])
 def test_eval_cli_full_size_constructors(arch, tmp_path, capsys):
     """The PUBLISHED full-size constructors run end-to-end through the
