@@ -249,6 +249,49 @@ def test_prune_export_bottleneck_slicing(model_params, tmp_path):
     assert out["likelihoods"]["z"].shape[-1] == kept_z
 
 
+def test_pruned_model_codec_roundtrip(model_params, tmp_path):
+    """The pruned/reloaded model must CODE, not just forward: real
+    compress -> decompress through the Codec (the reference's production
+    path for a pruned checkpoint is eval_model over pruned_model.pth,
+    train_gd.py:507-565). Host backend exact vs the gated original's
+    decode; lane fused decode agrees within transform float noise."""
+    from stf_tpu.models import Codec
+    from stf_tpu.training.train_gd import load_pruned_checkpoint
+
+    model, params = model_params
+    pruned_params = _prune_some(
+        model, params, num=40, protect=[("h_a", "gate_2")]
+    )
+    prune_export(pruned_params, str(tmp_path), model_kwargs=dict(SMALL))
+    reloaded_model, reloaded_params = load_pruned_checkpoint(
+        str(tmp_path / "pruned_model.msgpack")
+    )
+
+    x = np.asarray(jax.random.uniform(jax.random.key(10), (1, 64, 64, 3)))
+    codec = Codec(reloaded_model, reloaded_params)
+    enc = codec.compress(x)
+    dec = codec.decompress(enc["strings"], enc["shape"])
+    assert np.asarray(dec["x_hat"]).shape == x.shape
+
+    # decode must be deterministic and must match the gated (unpruned
+    # layout) model's codec output: the fold is exact away from the
+    # protected bottleneck gate
+    gated = Codec(model, pruned_params)
+    enc_g = gated.compress(x)
+    dec_g = gated.decompress(enc_g["strings"], enc_g["shape"])
+    np.testing.assert_allclose(
+        np.asarray(dec["x_hat"]), np.asarray(dec_g["x_hat"]), atol=1e-4
+    )
+
+    lane = Codec(reloaded_model, reloaded_params, coder="lane")
+    enc_l = lane.compress(x)
+    dec_l = lane.decompress(enc_l["strings"], enc_l["shape"])  # fused
+    np.testing.assert_allclose(
+        np.asarray(dec_l["x_hat"]), np.asarray(dec["x_hat"]),
+        atol=1e-5, rtol=2e-2,
+    )
+
+
 def test_init_from_cc_matches_cc_forward():
     """CC_GD seeded from a CC checkpoint (gates/masks at ones) must compute
     exactly what the CC computes — the reference's KEY_TABLE bootstrap."""

@@ -99,6 +99,36 @@ class TestTBC:
         )
 
 
+def test_tbc_lane_backend_matches_host():
+    """Lane backend on the TBC family: the uneven last slice (widths
+    7,7,6) is the interesting edge for the per-slice lane framing — the
+    per-slice walk must stay bit-exact vs host and the fused decode
+    hash-guard must hold across slices of different widths."""
+    model = TransformerBasedCoding(**TBC_TINY)
+    variables = model.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3)),
+        training=False,
+    )
+    params = variables["params"]
+    host = Codec(model, params, coder="host")
+    lane = Codec(model, params, coder="lane")
+    x = np.asarray(jax.random.uniform(jax.random.key(12), (1, 64, 64, 3)))
+    enc_h = host.compress(x)
+    enc_l = lane.compress(x)
+    dec_f = lane.decompress(enc_l["strings"], enc_l["shape"])  # fused
+    lane.fused = False
+    dec_w = lane.decompress(enc_l["strings"], enc_l["shape"])
+    dec_h = host.decompress(enc_h["strings"], enc_h["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(dec_w["x_hat"]), np.asarray(dec_h["x_hat"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec_f["x_hat"]), np.asarray(dec_h["x_hat"]),
+        atol=1e-5, rtol=2e-2,
+    )
+
+
 def test_cc_lane_backend_matches_host():
     """Lane backend on the CC family: per-slice walk bit-exact vs host,
     fused one-dispatch decode hash-guarded (backend is model-agnostic —
