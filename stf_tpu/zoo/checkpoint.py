@@ -45,7 +45,14 @@ def load_any_checkpoint(
 
 def load_checkpoint(path: str, model_name: Optional[str] = None) -> Tuple[Any, Dict]:
     """Returns (model, params). Model name/kwargs come from the sidecar
-    unless overridden."""
+    unless overridden. A `prune_export` checkpoint (identified by its
+    `.deps.json` sidecar) reconstructs the pruned-width CC_GD — the
+    reference's production path for pruned models is evaluating
+    `pruned_model.pth` through the same eval CLI (`train_gd.py:507-565`)."""
+    if os.path.exists(path + ".deps.json"):
+        from ..training.train_gd import load_pruned_checkpoint
+
+        return load_pruned_checkpoint(path)
     meta_path = path + ".json"
     kwargs: Dict = {}
     if os.path.exists(meta_path):

@@ -292,6 +292,43 @@ def test_pruned_model_codec_roundtrip(model_params, tmp_path):
     )
 
 
+def test_eval_cli_loads_pruned_export(model_params, tmp_path, capsys):
+    """`eval_model -p pruned_model.msgpack` must reconstruct the pruned-
+    width CC_GD from the .deps.json sidecar and produce metrics — the
+    reference's production path for a pruned checkpoint (eval over
+    pruned_model.pth)."""
+    from PIL import Image
+
+    from stf_tpu.cli.eval_model import main as eval_main
+
+    model, params = model_params
+    pruned_params = _prune_some(
+        model, params, num=40, protect=[("h_a", "gate_2")]
+    )
+    prune_export(pruned_params, str(tmp_path), model_kwargs=dict(SMALL))
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(
+            (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        ).save(ds / f"{i}.png")
+
+    import json
+
+    eval_main(
+        [
+            "-d", str(ds),
+            "-a", "cc_gd",
+            "-p", str(tmp_path / "pruned_model.msgpack"),
+            "-r", str(tmp_path / "recon_pruned"),
+        ]
+    )
+    r = json.loads(capsys.readouterr().out)["results"]
+    assert r["bpp"][0] > 0 and np.isfinite(r["psnr"][0])
+
+
 def test_init_from_cc_matches_cc_forward():
     """CC_GD seeded from a CC checkpoint (gates/masks at ones) must compute
     exactly what the CC computes — the reference's KEY_TABLE bootstrap."""
