@@ -6,6 +6,7 @@ from .mesh import (
     process_count,
     shard_batch,
     sync_global_devices,
+    tensor_parallel_shardings,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "process_count",
     "shard_batch",
     "sync_global_devices",
+    "tensor_parallel_shardings",
 ]

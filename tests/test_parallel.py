@@ -73,6 +73,68 @@ def test_multiple_parallel_steps_stay_finite():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_tensor_parallel_step_matches_data_parallel():
+    """dp x tp on a 2x4 mesh: params + optimizer moments sharded over the
+    `model` axis must produce the same step as pure data parallelism —
+    shardings are layout, not semantics (GSPMD inserts the collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stf_tpu.parallel import tensor_parallel_shardings
+
+    model = WACNN(**SMALL)
+    step = make_train_step(model, lmbda=0.01)
+    batch = np.asarray(
+        jax.random.uniform(jax.random.key(1), (8, 64, 64, 3)), np.float32
+    )
+    rng = jax.random.key(2)
+
+    # data-parallel reference on the 1-D mesh
+    mesh_dp = create_mesh()
+    state = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+    )
+    s_dp, m_dp = make_parallel_train_step(step, mesh_dp)(
+        state, shard_batch(batch, mesh_dp), rng
+    )
+
+    # 2-way data x 4-way tensor parallel
+    mesh_tp = create_mesh(model=4)
+    assert dict(zip(mesh_tp.axis_names, mesh_tp.devices.shape)) == {
+        "data": 2, "model": 4,
+    }
+    state2 = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+    )
+    state2 = jax.device_put(
+        state2, tensor_parallel_shardings(state2, mesh_tp)
+    )
+    pstep = make_parallel_train_step(step, mesh_tp, state=state2)
+    s_tp, m_tp = pstep(
+        state2,
+        jax.device_put(batch, NamedSharding(mesh_tp, P("data"))),
+        rng,
+    )
+
+    np.testing.assert_allclose(
+        float(m_dp["loss"]), float(m_tp["loss"]), rtol=1e-4
+    )
+    # the output state keeps the tensor-parallel layout: N=16 divides the
+    # 4-way model axis, so conv kernels are sharded on their
+    # output-channel axis (not silently replicated throughout)
+    assert any(
+        getattr(leaf, "ndim", 0) == 4
+        and leaf.sharding.spec == P(None, None, None, "model")
+        for leaf in jax.tree_util.tree_leaves(s_tp.params)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_dp.params),
+        jax.tree_util.tree_leaves(s_tp.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4
+        )
+
+
 def test_data_parallel_codec_eval():
     """Serving-style SPMD eval: a batch sharded across the 8-device mesh
     runs through the real codec (compress + decompress) and must produce
