@@ -18,8 +18,9 @@ axis.
 
 Beyond reference parity (the reference's only strategy is DDP), a 2-D
 `(data, model)` mesh adds tensor parallelism the GSPMD way: parameters are
-annotated with PartitionSpecs (`tensor_parallel_specs` shards conv/linear
-output channels over the `model` axis) and XLA inserts the all-gathers /
+annotated with PartitionSpecs (`tensor_parallel_shardings` shards
+conv/linear output channels over the `model` axis) and XLA inserts the
+all-gathers /
 reduce-scatters over ICI. Shardings are layout, not semantics — the same
 jitted step is numerically the data-parallel step. Pipeline / sequence /
 expert parallelism are deliberately absent: the reference has no analog
@@ -49,7 +50,7 @@ def create_mesh(
     model: int = 1,
 ) -> Mesh:
     """Device mesh: 1-D `(data,)` by default, 2-D `(data, model)` when
-    `model` > 1 (tensor parallelism via `tensor_parallel_specs`).
+    `model` > 1 (tensor parallelism via `tensor_parallel_shardings`).
 
     When `batch_size` is given, the data axis is capped to the largest
     device count that divides it (a 2-image batch on an 8-device host uses
