@@ -53,6 +53,12 @@ def parse_args(argv):
         "--coordinator", type=str, default=None,
         help="multi-host coordinator address (host:port); single-host if unset",
     )
+    p.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel ways: shards params + optimizer moments "
+        "over a `model` mesh axis (GSPMD; the data axis shrinks to "
+        "devices/tp). 1 = pure data parallelism (reference DDP shape)",
+    )
     p.add_argument("--log-every", type=int, default=10)
     return p.parse_args(argv)
 
@@ -130,6 +136,7 @@ def main(argv=None):
         make_parallel_train_step,
         process_count,
         sync_global_devices,
+        tensor_parallel_shardings,
     )
     from ..parallel.mesh import initialize_distributed
     from ..training import create_train_state, make_train_step
@@ -139,7 +146,7 @@ def main(argv=None):
     if args.coordinator:
         initialize_distributed(args.coordinator)
 
-    mesh = create_mesh(batch_size=args.batch_size)
+    mesh = create_mesh(batch_size=args.batch_size, model=args.tp)
     n_proc = process_count()
     main_proc = is_main_process()
     if main_proc:
@@ -200,12 +207,21 @@ def main(argv=None):
             print(f"resumed from {args.checkpoint} at epoch {last_epoch}")
 
     repl_sh, data_sh = data_parallel_shardings(mesh)
+    # --tp > 1: params + optimizer moments shard over the `model` axis
+    # (jit resharding places the restored/initial state; the msgpack save
+    # gathers through serialization, the orbax backend saves shard-wise)
+    param_sh = (
+        tensor_parallel_shardings(state.params, mesh)
+        if args.tp > 1
+        else repl_sh
+    )
     p_train_step = make_parallel_train_step(
-        make_train_step(model, args.lmbda, args.metric), mesh
+        make_train_step(model, args.lmbda, args.metric), mesh,
+        state=state if args.tp > 1 else None,
     )
     p_eval_step = jax.jit(
         make_eval_step(model, args.lmbda, args.metric),
-        in_shardings=(repl_sh, data_sh),
+        in_shardings=(param_sh, data_sh),
         out_shardings=repl_sh,
     )
     rng = jax.random.key(args.seed + 1)

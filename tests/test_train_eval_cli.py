@@ -66,6 +66,38 @@ def test_train_two_epochs_and_resume(tiny_dataset, tiny_registry, tmp_path):
     assert int(state2.step) == 3 * 3
 
 
+def test_train_tensor_parallel_cli(tiny_dataset, tiny_registry, tmp_path):
+    """--tp 2 on the 8-device CPU mesh: params + optimizer moments shard
+    over the model axis; training runs, saves, and the saved params are
+    finite (numerical dp-equality is pinned in tests/test_parallel.py)."""
+    import jax
+
+    from stf_tpu.training.train import main
+
+    save_dir = str(tmp_path / "ckpt_tp")
+    state = main([
+        "-m", tiny_registry,
+        "-d", tiny_dataset,
+        "-e", "1",
+        "--batch-size", "2",
+        "--test-batch-size", "2",
+        "--patch-size", "64", "64",
+        "--save-dir", save_dir,
+        "--num-workers", "2",
+        "--tp", "2",
+    ])
+    assert int(state.step) == 3
+    # the training state really is tensor-parallel, not silently replicated
+    assert any(
+        getattr(leaf, "ndim", 0) == 4
+        and "model" in str(leaf.sharding.spec)
+        for leaf in jax.tree_util.tree_leaves(state.params)
+    )
+    assert os.path.exists(os.path.join(save_dir, "checkpoint.msgpack"))
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 def test_orbax_checkpoint_roundtrip_bit_exact(tiny_registry, tmp_path):
     """Orbax backend restores params/opt_state/step bit-identically
     (collective sharded save; template arrays keep their shardings)."""
