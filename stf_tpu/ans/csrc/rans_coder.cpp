@@ -75,8 +75,20 @@ struct RansEncState {
 
 struct RansDecState {
   uint64_t x = 0;
+  const uint32_t *end = nullptr;  // one past the last stream word
 
-  inline void init(const uint32_t **ptr) {
+  // Renormalization word fetch, bounded: a truncated or corrupt stream
+  // (the one untrusted input of the decode path) zero-fills past the end
+  // instead of reading out of bounds — decode stays deterministic and
+  // in-bounds, producing garbage symbols the caller's checks (hash
+  // guards, PSNR) catch. Valid streams never hit the bound, so behavior
+  // on well-formed input is bit-identical.
+  inline uint32_t next_word(const uint32_t **ptr) {
+    return (*ptr < end) ? *(*ptr)++ : 0u;
+  }
+
+  inline void init(const uint32_t **ptr, const uint32_t *stream_end) {
+    end = stream_end;
     x = static_cast<uint64_t>((*ptr)[0]) |
         (static_cast<uint64_t>((*ptr)[1]) << 32);
     *ptr += 2;
@@ -91,7 +103,7 @@ struct RansDecState {
     const uint64_t mask = (1ull << bits) - 1;
     x = freq * (x >> bits) + (x & mask) - start;
     if (x < kStateLow) {
-      x = (x << 32) | *(*ptr)++;
+      x = (x << 32) | next_word(ptr);
     }
   }
 
@@ -99,7 +111,7 @@ struct RansDecState {
     const uint32_t val = static_cast<uint32_t>(x & ((1u << nbits) - 1));
     x >>= nbits;
     if (x < kStateLow) {
-      x = (x << 32) | *(*ptr)++;
+      x = (x << 32) | next_word(ptr);
     }
     return val;
   }
@@ -226,7 +238,11 @@ int64_t decode_symbols_t(Dec &dec, const int32_t *indexes, int64_t n,
       }
       uint32_t raw_val = 0;
       for (int32_t j = 0; j < n_bypass; ++j) {
-        raw_val |= dec.bypass_bits() << (j * kBypassBits);
+        const uint32_t chunk = dec.bypass_bits();
+        // A well-formed stream carries at most 8 chunks (raw_val is
+        // 32-bit); a corrupt one can claim more — consume them to stay
+        // deterministic but don't shift past the word (UB).
+        if (j < 8) raw_val |= chunk << (j * kBypassBits);
       }
       value = static_cast<int32_t>(raw_val >> 1);
       if (raw_val & 1u) {
@@ -434,7 +450,7 @@ int64_t stf_decode_with_indexes(const uint8_t *stream, int64_t stream_len,
   CdfView t{cdfs, cdf_stride, cdf_lengths, offsets};
   const uint32_t *ptr = reinterpret_cast<const uint32_t *>(stream);
   RansDecState rans;
-  rans.init(&ptr);
+  rans.init(&ptr, ptr + stream_len / 4);
   return decode_symbols(rans, &ptr, indexes, n, t, out);
 }
 
@@ -455,7 +471,7 @@ int32_t stf_decoder_set_stream(StfStreamDecoder *dec, const uint8_t *stream,
   if (stream_len < 8 || (stream_len % 4) != 0) return -1;
   dec->stream.assign(stream, stream + stream_len);
   dec->ptr = reinterpret_cast<const uint32_t *>(dec->stream.data());
-  dec->rans.init(&dec->ptr);
+  dec->rans.init(&dec->ptr, dec->ptr + stream_len / 4);
   return 0;
 }
 

@@ -123,6 +123,47 @@ class TestRansRoundTrip:
             out = dec.decode_stream(indexes, cdfs, lengths, offsets)
             np.testing.assert_array_equal(out, symbols)
 
+    def test_corrupt_and_truncated_streams_decode_in_bounds(self):
+        """The bitstream is the one untrusted input of the decode path:
+        random garbage, truncated valid streams, and zero streams must
+        decode to SOME n symbols deterministically (the renormalization
+        word fetch zero-fills past the stream end instead of reading out
+        of bounds). Catches memory-unsafety the reference never guards."""
+        from stf_tpu.ans import RangeDecoder
+
+        rng = np.random.default_rng(6)
+        cdfs, lengths, offsets = random_cdf_table(rng, rows=4, max_len=16)
+        n = 257
+        indexes = rng.integers(0, 4, size=n).astype(np.int32)
+        symbols = rng.integers(-1000, 1000, size=n).astype(np.int32)
+        valid = RansEncoder().encode_with_indexes(
+            symbols, indexes, cdfs, lengths, offsets
+        )
+
+        streams = [bytes(rng.integers(0, 256, size=m, dtype=np.uint8))
+                   for m in (8, 12, 64, 4096)]
+        streams += [valid[: max(8, (len(valid) // 2) // 4 * 4)],
+                    b"\xff" * 64, b"\x00" * 64]
+        for s in streams:
+            out = RansDecoder().decode_with_indexes(
+                s, indexes, cdfs, lengths, offsets
+            )
+            assert out.shape == (n,)
+            out2 = RansDecoder().decode_with_indexes(
+                s, indexes, cdfs, lengths, offsets
+            )
+            np.testing.assert_array_equal(out, out2)  # deterministic
+            dec = RansDecoder()
+            dec.set_stream(s)
+            assert dec.decode_stream(
+                indexes, cdfs, lengths, offsets
+            ).shape == (n,)
+            rd = RangeDecoder()
+            rd.set_stream(s)
+            assert rd.decode_stream(
+                indexes, cdfs, lengths, offsets
+            ).shape == (n,)
+
     def test_empty(self):
         cdfs = np.array([[0, 30000, 1 << 16]], dtype=np.int32)
         stream = RansEncoder().encode_with_indexes(
