@@ -46,6 +46,11 @@ REFERENCE_SEC_PER_IMG = {"cnn": 0.12 + 0.12, "stf": 0.15 + 0.15}
 # at reference stream weight.
 PRELUDE_LMBDA = {"cnn": 0.013, "stf": 0.0035}
 MODEL = os.environ.get("STF_BENCH_MODEL", "cnn")
+if MODEL not in REFERENCE_SEC_PER_IMG:
+    raise SystemExit(
+        f"STF_BENCH_MODEL={MODEL!r} has no reference baseline; "
+        f"choose from {sorted(REFERENCE_SEC_PER_IMG)}"
+    )
 SECONDARY = os.environ.get(
     "STF_BENCH_SECONDARY", {"cnn": "stf", "stf": "cnn"}[MODEL]
 )

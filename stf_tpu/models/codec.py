@@ -266,6 +266,14 @@ class Codec:
             params = jax.tree_util.tree_map_with_path(cast, params)
         self.params = params
         self._pack_drain_arg = pack_drain
+        # pin the HOST entropy backend (rans/rangecoder) for this codec's
+        # lifetime — resolved ONCE here, never re-read from the global
+        # registry: a registry flip between compress and decompress (or
+        # across an update()) would decode one backend's bytes with the
+        # other's bit layer and return garbage symbols silently
+        from ..ans import resolve_host_backend
+
+        self.host_backend = resolve_host_backend()
         self.update()
 
         # compute dtype follows the params (bf16 params -> bf16 transforms)
@@ -432,13 +440,7 @@ class Codec:
         if scale_table is not None:
             self.scale_table = np.asarray(scale_table, np.float32)
         self._build_table_programs()
-        # pin the HOST entropy backend (rans/rangecoder) for this codec's
-        # lifetime: a registry flip between compress and decompress would
-        # otherwise decode one backend's bytes with the other's bit layer
-        # and return garbage symbols silently
-        from ..ans import resolve_host_backend
-
-        self.host_backend = resolve_host_backend()
+        # table rebuilds reuse the backend pinned in __init__ (see there)
         eb_params = self.params["entropy_bottleneck"]
         self.eb_coder = EntropyBottleneckCoder(
             build_eb_tables(eb_params),

@@ -63,9 +63,10 @@ def create_mesh(
     if batch_size is not None:
         while data > 1 and batch_size % data != 0:
             data -= 1
-    if data * model > len(devices):
+    if data < 1 or data * model > len(devices):
         raise ValueError(
-            f"mesh needs {data}x{model} devices, have {len(devices)}"
+            f"mesh needs {max(data, 1)}x{model} devices, have "
+            f"{len(devices)}"
         )
     if model == 1:
         return Mesh(np.asarray(devices[:data]).reshape(data), ("data",))

@@ -148,6 +148,16 @@ def main(argv=None):
 
     mesh = create_mesh(batch_size=args.batch_size, model=args.tp)
     n_proc = process_count()
+    if args.tp > 1 and n_proc > 1 and args.ckpt_format != "orbax":
+        # msgpack saves gather the whole state through flax serialization,
+        # which cannot materialize model-axis shards spanning processes —
+        # it would crash at the FIRST epoch save, after a full epoch of
+        # compute. Fail at startup instead.
+        raise SystemExit(
+            "--tp > 1 on a multi-host mesh requires --ckpt-format orbax "
+            "(collective sharded saves); the default msgpack format "
+            "cannot serialize cross-process shards"
+        )
     main_proc = is_main_process()
     if main_proc:
         print(f"devices: {mesh.devices.size} ({jax.devices()[0].platform}), "

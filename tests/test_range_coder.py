@@ -156,3 +156,16 @@ def test_codec_backend_selection():
     )
     assert enc_pinned["strings"][0][0] == enc_rans["strings"][0][0]
     assert enc_pinned["strings"][1][0] == enc_rans["strings"][1][0]
+
+    # ... and update() (the reference's table-sweep protocol) must also
+    # reuse the pinned backend, not re-read the flipped registry
+    stf_tpu.set_entropy_coder("rangecoder")
+    try:
+        codec.update(scale_table=codec.scale_table)
+        assert codec.host_backend == "rans"
+        dec_upd = codec.decompress(enc_rans["strings"], enc_rans["shape"])
+    finally:
+        stf_tpu.set_entropy_coder("rans")
+    np.testing.assert_array_equal(
+        np.asarray(dec_upd["x_hat"]), np.asarray(dec_rans["x_hat"])
+    )
