@@ -249,7 +249,8 @@ def bench_model(model_name: str, attribution: bool = True,
     # reference-contract CPU coder (STF_BENCH_CODER=host to A/B).
     coder = knob("STF_BENCH_CODER", "lane")
     # STF_BENCH_FUSED=1 A/Bs the one-dispatch fused encode walk;
-    # STF_BENCH_PIPELINE=K overlaps sub-batch uploads with the fused walk
+    # STF_BENCH_PIPELINE=K splits the channel-AR walk into K sub-batches
+    # (inside the single fused dispatch when FUSED=1)
     fused_enc = knob("STF_BENCH_FUSED", "0") == "1"
     pipeline = int(knob("STF_BENCH_PIPELINE", "1"))
     # stf's Swin analyze/synthesis at batch 24 x 512x768 exceeds 16 GB HBM

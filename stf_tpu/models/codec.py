@@ -126,7 +126,21 @@ def _traced_walk(model, params, lm, ls, table, idx_dtype, get_symbols,
     symbols: the decode side runs the lane kernel on the stream banks, the
     encode side quantizes y and records the kernel's output banks. Returns
     (y_hat_slices, per-slice idx hashes); `need_y_hat=False` skips the
-    final slice's dequantize+lrp apply (the encoder never consumes it)."""
+    final slice's dequantize+lrp apply (the encoder never consumes it).
+
+    Every slice-boundary value is pinned with `lax.optimization_barrier`:
+    sharing the trace is NOT enough for cross-program bit-exactness —
+    XLA fuses each executable globally, and the different surroundings
+    (encode kernels + quantize vs decode kernels + synthesis) change how
+    the shared chain's bf16 matmuls tile/fuse, which was measured to flip
+    scale-table indexes from the first multi-slice-support slice onward
+    (TPU, bf16, WACNN slice 3+). The barriers carve the float chain into
+    identical isolated islands — same HLO subgraph, barriered inputs and
+    outputs — so the two programs compile the walk identically. Integer
+    values (symbols, hashes) are exact regardless and need no pinning,
+    but `rv` is barriered anyway to keep each island's *producers* from
+    fusing into it asymmetrically."""
+    ob = jax.lax.optimization_barrier
     S = model.num_slices
     k_supp = model.max_support_slices
     y_hat_slices: List = []
@@ -135,19 +149,20 @@ def _traced_walk(model, params, lm, ls, table, idx_dtype, get_symbols,
     def support():
         return tuple(y_hat_slices if k_supp < 0 else y_hat_slices[:k_supp])
 
-    mu, idx = model.apply(
+    lm, ls = ob((lm, ls))
+    mu, idx = ob(model.apply(
         {"params": params}, 0, lm, ls, (), table,
         method="decode_slice_indexes",
-    )
+    ))
     for i in range(S):
         idx_q = idx.astype(idx_dtype)
         hashes.append(_idx_hash_dev(idx_q))
-        rv = get_symbols(i, mu, idx_q)
+        rv = ob(get_symbols(i, mu, idx_q))
         if i < S - 1:
-            y_prev, mu, idx = model.apply(
+            y_prev, mu, idx = ob(model.apply(
                 {"params": params}, i + 1, lm, ls, support(), mu, rv,
                 table, method="decode_slice_fused",
-            )
+            ))
             y_hat_slices.append(y_prev)
         elif need_y_hat:
             y_hat_slices.append(
@@ -628,9 +643,15 @@ class Codec:
                 ])
                 return w, sd, jax.lax.bitcast_convert_type(st, jnp.uint32)
 
-            lm_all, ls_all = model.apply(
-                {"params": params}, z_hat, y_shape, method="hyper_synthesize"
-            )
+            # hyper island: barriered input and output make this float
+            # chain compile identically in the encode twin (see
+            # _traced_walk's docstring for why the shared trace alone is
+            # not enough)
+            lm_all, ls_all = jax.lax.optimization_barrier(model.apply(
+                {"params": params},
+                jax.lax.optimization_barrier(z_hat),
+                y_shape, method="hyper_synthesize",
+            ))
             hashes: Dict = {}
             y_hat_subs = []
             for k, (lo, hi) in enumerate(subs):
@@ -767,10 +788,12 @@ class Codec:
                 z, medians
             )
             y_shape = (y.shape[1], y.shape[2])
-            lm_all, ls_all = model.apply(
-                {"params": params}, z_hat, y_shape,
-                method="hyper_synthesize",
-            )
+            # hyper island: mirrors the decode twin's barriers exactly
+            lm_all, ls_all = jax.lax.optimization_barrier(model.apply(
+                {"params": params},
+                jax.lax.optimization_barrier(z_hat),
+                y_shape, method="hyper_synthesize",
+            ))
             bounds = model.slice_boundaries(y.shape[-1])
             banks: Dict = {}
             hashes: Dict = {}
@@ -836,7 +859,7 @@ class Codec:
             self._lane_fused_cache[skey] = shapes
         (yh, yw, ym), z_sd = shapes
         subs = self._sub_batches(x.shape[0])
-        step = subs[0][1] - subs[0][0]
+        step = max(hi - lo for lo, hi in subs)
         bounds = self.model.slice_boundaries(ym)
         widths = np.diff([0] + list(bounds) + [ym])
         if int(step * yh * yw * widths.max()) > 2_000_000:
@@ -845,46 +868,42 @@ class Codec:
         S = self.model.num_slices
         G = lc.GROUPS
 
-        # Per-sub-batch dispatches (pipeline>1): sub k+1's image upload
-        # overlaps sub k's fused walk — each sub is ONE dispatch, so the
-        # dispatch-count tax that made pipeline>1 lose on the per-slice
-        # walk (PERF.md round 1) no longer applies. K==1 keeps the single
-        # whole-batch dispatch. The per-sub program is keyed on the sub
-        # shape, so both layouts share the cache across calls.
-        fn = None
-        runs = []  # (z_sym32, z_sym8, out_banks, meta) per sub
+        # ONE whole-batch dispatch regardless of `pipeline`, structured
+        # exactly like the fused decode twin: analyze + hyper at the FULL
+        # batch shape, the channel-AR walk per sub-batch. Lockstep demands
+        # this alignment — an earlier design ran analyze/hyper in per-sub
+        # programs (batch shape = sub size), and the decoders (which keep
+        # hyper at full batch, per the per-slice contract) derived
+        # different bf16 scale values => flipped table indexes => hash
+        # mismatch on every pipeline>1 stream.
         on_host = not isinstance(x, jax.Array)
-        for lo, hi in subs:
-            x_sub = jax.device_put(x[lo:hi]) if on_host else x[lo:hi]
-            if fn is None:
-                uint8_in = x_sub.dtype == jnp.uint8
-                fn = self._fused_encode_build(
-                    ((0, step),), uint8_in, x_sub.shape
-                )
-            out = fn(self.params, x_sub, *self._lane_dev_tables)
-            self._start_transfer(out[1])
-            self._start_transfer(out[3])
-            runs.append(out)
+        x_dev = jax.device_put(x) if on_host else x
+        fn = self._fused_encode_build(
+            tuple(subs), x_dev.dtype == jnp.uint8, x_dev.shape
+        )
+        z_sym32, z_sym8, out_banks, meta = fn(
+            self.params, x_dev, *self._lane_dev_tables
+        )
+        self._start_transfer(z_sym8)
+        self._start_transfer(meta)
         if probe is not None:
-            # attribution: uploads already overlap the dispatches above;
-            # this syncs on the last sub's input (total upload interval)
-            probe("upload", x_sub)
+            probe("upload", x_dev)
 
+        keys = sorted((i, k) for i in range(S) for k in range(len(subs)))
+        meta_np = np.asarray(meta)
+        counts_sz = len(keys) * G * 128
+        counts_all = meta_np[:counts_sz].reshape(len(keys), G, 128)
+        hash_all = meta_np[counts_sz: counts_sz + len(keys)].view(np.uint32)
+        z_overflow = bool(meta_np[-1])
         pending = {}
-        z_overflow = False
-        for k, (lo, hi) in enumerate(subs):
-            meta_np = np.asarray(runs[k][3])
-            counts_sz = S * G * 128
-            counts_all = meta_np[:counts_sz].reshape(S, G, 128)
-            hash_all = meta_np[counts_sz: counts_sz + S].view(np.uint32)
-            z_overflow = z_overflow or bool(meta_np[-1])
-            for i in range(S):
-                shape = (hi - lo, yh, yw, int(widths[i]))
-                words, side, states = runs[k][2][i]
-                pending[(i, k)] = (
-                    "dev", shape, None, None, words, side, states,
-                    counts_all[i], int(hash_all[i]),
-                )
+        for j, (i, k) in enumerate(keys):
+            lo, hi = subs[k]
+            shape = (hi - lo, yh, yw, int(widths[i]))
+            words, side, states = out_banks[j]
+            pending[(i, k)] = (
+                "dev", shape, None, None, words, side, states,
+                counts_all[j], int(hash_all[j]),
+            )
         if probe is not None:
             probe("fused_encode_walk", None)
 
@@ -897,9 +916,7 @@ class Codec:
         if probe is not None:
             probe("entropy", None)
 
-        z_sym = np.concatenate([
-            np.asarray(r[0] if z_overflow else r[1]) for r in runs
-        ])
+        z_sym = np.asarray(z_sym32 if z_overflow else z_sym8)
         z_strings = self.eb_coder.compress_symbols(z_sym)
         if probe is not None:
             probe("z_rans", None)

@@ -249,10 +249,13 @@ class TestLaneCodec:
         )
 
     def test_fused_encode_pipelined_stream_identical(self, small_model_state):
-        """fused_encode with pipeline=2 dispatches one fused program per
-        sub-batch (uploads overlap compute); the stream must still be
-        byte-identical to the per-slice pipeline=2 lane encoder's (modulo
-        the header flag bit) and round-trip through both decoder paths."""
+        """fused_encode with pipeline=2 keeps ONE whole-batch dispatch
+        with analyze/hyper at full batch shape and the walk per sub —
+        exactly the decoders' structure (an earlier per-sub-program
+        design diverged in bf16 on TPU and tripped the hash guard). The
+        stream must be byte-identical to the per-slice pipeline=2 lane
+        encoder's (modulo the header flag bit) and round-trip through
+        both decoder paths."""
         import warnings
 
         model, state = small_model_state
