@@ -576,7 +576,7 @@ class Codec:
         return out
 
     def _fused_decode_fn(self, subs, y_shape, wr, sr, ns, z_shape,
-                         z_is_sym=False):
+                         z_is_sym=False, split_synth=False):
         """Build (or fetch) the one-dispatch lane decompress program:
         ONE flat int32 buffer -> (x_hat, per-segment idx hashes). The
         buffer front carries the per-segment bank offset table and the z
@@ -586,12 +586,23 @@ class Codec:
         tunneled link charges fixed latency per device_put). Per-segment
         kernel banks are rebuilt on device with dynamic_slice; the bank
         offsets are traced *values* read out of the buffer, so per-stream
-        size variation never recompiles."""
+        size variation never recompiles.
+
+        `split_synth=True` ends the program at the walk — it returns the
+        raw per-(slice, sub) y_hat tensors + hvec and the caller feeds
+        them to `_fused_synth_fn` as a second dispatch. Used at
+        pipeline>1: with the trailing concat+synthesis in the same
+        executable, XLA's global layout assignment reaches back into the
+        sub-batch walk islands and they no longer compile bit-identical
+        to the encode twin's (measured on TPU: pipeline=2 fused decode
+        derived different scale indexes than the whole-batch fused
+        encoder, while the per-slice walk — whose programs end at the
+        walk, like the encode twin — matched it exactly)."""
         from ..ans import lane_coder as lc
 
         key = (
             tuple(subs), y_shape, wr, sr, tuple(ns), self.synth_chunks,
-            z_shape, z_is_sym,
+            z_shape, z_is_sym, split_synth,
         )
         fn = self._lane_fused_cache.get(key)
         if fn is not None:
@@ -654,6 +665,7 @@ class Codec:
             ))
             hashes: Dict = {}
             y_hat_subs = []
+            raw_slices = []
             for k, (lo, hi) in enumerate(subs):
                 lm, ls = lm_all[lo:hi], ls_all[lo:hi]
 
@@ -676,15 +688,46 @@ class Codec:
                 )
                 for i in range(S):
                     hashes[(i, k)] = h[i]
-                y_hat_subs.append(jnp.concatenate(y_hat_slices, axis=-1))
+                if split_synth:
+                    raw_slices.extend(y_hat_slices)
+                else:
+                    y_hat_subs.append(
+                        jnp.concatenate(y_hat_slices, axis=-1)
+                    )
+            hvec = jnp.stack(
+                [hashes[(i, k)] for i in range(S) for k in range(K_subs)]
+            )
+            if split_synth:
+                # no concat/synthesis in this executable — the walk
+                # islands keep the encode twin's program shape
+                return tuple(raw_slices), hvec
             y_hat = jnp.concatenate(y_hat_subs, axis=0)
             x_hat = self._chunked_apply(
                 params, y_hat, self.synth_chunks, "synthesize"
             )
-            hvec = jnp.stack(
-                [hashes[(i, k)] for i in range(S) for k in range(K_subs)]
-            )
             return x_hat, hvec
+
+        fn = jax.jit(fn)
+        self._lane_fused_cache[key] = fn
+        return fn
+
+    def _fused_synth_fn(self, n_subs):
+        """Second dispatch of the split fused decode: per-(slice, sub)
+        y_hat tensors -> concat -> synthesize -> x_hat."""
+        key = ("synth", n_subs, self.synth_chunks)
+        fn = self._lane_fused_cache.get(key)
+        if fn is not None:
+            return fn
+        S = self.model.num_slices
+        synth_chunks = self.synth_chunks
+        chunked_apply = self._chunked_apply
+
+        def fn(params, raw_slices):
+            y_hat = jnp.concatenate([
+                jnp.concatenate(raw_slices[k * S:(k + 1) * S], axis=-1)
+                for k in range(n_subs)
+            ], axis=0)
+            return chunked_apply(params, y_hat, synth_chunks, "synthesize")
 
         fn = jax.jit(fn)
         self._lane_fused_cache[key] = fn
@@ -732,20 +775,35 @@ class Codec:
         buf_dev = jax.device_put(buf)
         if probe is not None:
             probe("banks_upload", buf_dev)
+        split = len(subs) > 1
         fn = self._fused_decode_fn(
             subs, y_shape, wr, sr, tuple(s.n for s in segments),
-            tuple(z_sym.shape), z_is_sym,
+            tuple(z_sym.shape), z_is_sym, split_synth=split,
         )
-        x_hat, hvec = fn(self.params, buf_dev, *self._lane_dev_tables)
-        if np.array_equal(np.asarray(hvec), enc_hashes):
+        out, hvec = fn(self.params, buf_dev, *self._lane_dev_tables)
+        if split:
+            # dispatch the synthesis before blocking on the hash fetch —
+            # on a mismatch the second dispatch is wasted work, but the
+            # match path never serializes on the D2H round trip
+            x_hat = self._fused_synth_fn(len(subs))(self.params, out)
+        else:
+            x_hat = out
+        hvec_np = np.asarray(hvec)
+        if np.array_equal(hvec_np, enc_hashes):
             if probe is not None:
                 probe("fused_walk_synth", x_hat)
             return x_hat
         import warnings
 
+        K = len(subs)
+        bad = [
+            (j // K, j % K)
+            for j in np.flatnonzero(hvec_np != enc_hashes)
+        ]
         warnings.warn(
             "fused lane decode derived different scale indexes than the "
-            "encoder; falling back to the per-slice walk",
+            f"encoder at (slice, sub) {bad}; falling back to the "
+            "per-slice walk",
             RuntimeWarning,
         )
         return None
