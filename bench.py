@@ -248,11 +248,18 @@ def bench_model(model_name: str, attribution: bool = True,
     # rANS + hash-guarded fused decompress); "host" is the
     # reference-contract CPU coder (STF_BENCH_CODER=host to A/B).
     coder = knob("STF_BENCH_CODER", "lane")
-    # STF_BENCH_FUSED=1 A/Bs the one-dispatch fused encode walk;
+    # STF_BENCH_FUSED=1 rides the one-dispatch fused encode walk;
     # STF_BENCH_PIPELINE=K splits the channel-AR walk into K sub-batches
-    # (inside the single fused dispatch when FUSED=1)
-    fused_enc = knob("STF_BENCH_FUSED", "0") == "1"
-    pipeline = int(knob("STF_BENCH_PIPELINE", "1"))
+    # (inside the single fused dispatch when FUSED=1). cnn ships fused
+    # p2 — the fastest measured (encode 1.02 s vs 1.34 s unfused, decode
+    # matching at 0.44 s once the decode twin's islands were layout-
+    # pinned, PERF.md round 3); stf stays unfused p1 pending its own A/B.
+    fused_enc = knob(
+        "STF_BENCH_FUSED", {"cnn": "1", "stf": "0"}[model_name]
+    ) == "1"
+    pipeline = int(knob(
+        "STF_BENCH_PIPELINE", {"cnn": "2", "stf": "1"}[model_name]
+    ))
     # stf's Swin analyze/synthesis at batch 24 x 512x768 exceeds 16 GB HBM
     # (needs 16.24 GB); lax.map chunking inside the jitted transform keeps
     # ONE full-batch codec walk (half the dispatches of splitting the

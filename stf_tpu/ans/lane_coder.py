@@ -699,6 +699,79 @@ def lane_decode_device(idx_dev, words_dev, side_dev, states_dev,
     return out[:n]
 
 
+# -- layout pin ----------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _pin_kernel(blk_rows: int, n_blocks: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((blk_rows, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((blk_rows, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * blk_rows, K), jnp.int32),
+        interpret=interpret,
+    )
+
+
+def layout_pin(x, interpret: bool = False):
+    """Bit-exact identity copy of `x` through a trivial Pallas kernel.
+
+    Why this exists: a value produced INSIDE a jitted program carries
+    whatever buffer layout XLA's global layout assignment picked for it —
+    and the layout of an operand changes how the bf16 matmuls consuming it
+    tile, which changes their accumulation order, which can flip a derived
+    scale-table index between two executables that trace the very same
+    Python (`models/codec._traced_walk`). Values that cross a *program
+    boundary* are immune: program inputs/outputs get canonical layouts.
+    This kernel gives an in-program value the same property — a custom
+    call is an optimization fence XLA cannot fuse through, and its output
+    buffer layout is fixed by the BlockSpec, not by the surrounding
+    program. `lax.optimization_barrier` alone does NOT do this: barriers
+    are layout-transparent, so a consumer's layout preference reaches
+    through them into the producing island (measured on TPU: the fused
+    lane decode twin derived different indexes than the fused encoder at
+    pipeline=2 bench shapes until its island operands were pinned).
+
+    Works for any 1/2/4-byte dtype: bits ride int32 words through the
+    kernel (f32/bf16 bitcasts are exact, NaNs included).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dt = x.dtype
+    flat = x.reshape(-1)
+    n = flat.shape[0]
+    per = 4 // np.dtype(dt).itemsize  # sub-word dtypes pack `per` per word
+    if per > 1:
+        m = -(-n // per) * per
+        flat = jnp.pad(flat, (0, m - n))
+        words = jax.lax.bitcast_convert_type(
+            flat.reshape(-1, per), jnp.int32
+        )
+    else:
+        words = jax.lax.bitcast_convert_type(flat, jnp.int32)
+    wn = words.shape[0]
+    rows = -(-wn // K)
+    blk = min(rows, 512)
+    n_blocks = -(-rows // blk)
+    words = jnp.pad(words, (0, n_blocks * blk * K - wn))
+    out = _pin_kernel(blk, n_blocks, interpret)(words.reshape(-1, K))
+    out = out.reshape(-1)[:wn]
+    back = jax.lax.bitcast_convert_type(out, dt)
+    return back.reshape(-1)[:n].reshape(x.shape)
+
+
 # -- device encoder -----------------------------------------------------------
 #
 # Mirror of the decode kernel: symbols and indexes STAY ON DEVICE (they are

@@ -21,6 +21,7 @@ Equivalent surface to the reference's `model.update()` / `model.compress()`
 / `model.decompress()` protocol.
 """
 
+import functools
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
@@ -117,7 +118,7 @@ def _z_quantize_math(z, medians):
 
 
 def _traced_walk(model, params, lm, ls, table, idx_dtype, get_symbols,
-                 need_y_hat=True):
+                 need_y_hat=True, pin=None):
     """The channel-AR chain traced into BOTH fused executables: the fused
     DECODE program and the fused ENCODE program call this one function, so
     their derived mu/scale/idx math cannot drift apart (CLAUDE.md lockstep
@@ -139,8 +140,22 @@ def _traced_walk(model, params, lm, ls, table, idx_dtype, get_symbols,
     outputs — so the two programs compile the walk identically. Integer
     values (symbols, hashes) are exact regardless and need no pinning,
     but `rv` is barriered anyway to keep each island's *producers* from
-    fusing into it asymmetrically."""
+    fusing into it asymmetrically.
+
+    `pin` (optional, used by the fused DECODE twin only) additionally
+    routes every island operand through `lane_coder.layout_pin` — a
+    bit-exact Pallas identity copy that forces the operand into a
+    canonical buffer layout. Barriers alone are layout-transparent:
+    XLA's layout assignment reaches through them, and the decode twin's
+    different surroundings (its `rv` is an in-program kernel output, its
+    y_hats are program outputs) gave its islands differently-laid-out
+    operands, which re-tiled the bf16 matmuls and flipped scale indexes
+    at pipeline>1 bench shapes. The ENCODE twin takes no pin: it is the
+    stream's lockstep anchor and is measured bit-aligned with the
+    per-slice executables (whose operands cross real program boundaries
+    — exactly the property `layout_pin` emulates in-program)."""
     ob = jax.lax.optimization_barrier
+    p = pin if pin is not None else (lambda a: a)
     S = model.num_slices
     k_supp = model.max_support_slices
     y_hat_slices: List = []
@@ -150,20 +165,23 @@ def _traced_walk(model, params, lm, ls, table, idx_dtype, get_symbols,
         return tuple(y_hat_slices if k_supp < 0 else y_hat_slices[:k_supp])
 
     lm, ls = ob((lm, ls))
+    lm, ls = p(lm), p(ls)
     mu, idx = ob(model.apply(
         {"params": params}, 0, lm, ls, (), table,
         method="decode_slice_indexes",
     ))
+    mu = p(mu)
     for i in range(S):
         idx_q = idx.astype(idx_dtype)
         hashes.append(_idx_hash_dev(idx_q))
-        rv = ob(get_symbols(i, mu, idx_q))
+        rv = p(ob(get_symbols(i, mu, idx_q)))
         if i < S - 1:
             y_prev, mu, idx = ob(model.apply(
                 {"params": params}, i + 1, lm, ls, support(), mu, rv,
                 table, method="decode_slice_fused",
             ))
-            y_hat_slices.append(y_prev)
+            mu = p(mu)
+            y_hat_slices.append(p(y_prev))
         elif need_y_hat:
             y_hat_slices.append(
                 model.apply(
@@ -657,10 +675,14 @@ class Codec:
             # hyper island: barriered input and output make this float
             # chain compile identically in the encode twin (see
             # _traced_walk's docstring for why the shared trace alone is
-            # not enough)
+            # not enough). The input additionally rides a layout pin:
+            # this z_hat is a bitcast of the uploaded buffer, whose layout
+            # differs from the encode twin's conv-produced z_hat — the pin
+            # hands the island a canonically-laid-out operand either way.
+            pin = functools.partial(lc.layout_pin, interpret=interpret)
             lm_all, ls_all = jax.lax.optimization_barrier(model.apply(
                 {"params": params},
-                jax.lax.optimization_barrier(z_hat),
+                pin(jax.lax.optimization_barrier(z_hat)),
                 y_shape, method="hyper_synthesize",
             ))
             hashes: Dict = {}
@@ -684,7 +706,8 @@ class Codec:
                     ).reshape(idx_q.shape).astype(jnp.int32)
 
                 y_hat_slices, h = _traced_walk(
-                    model, params, lm, ls, table, idx_dtype, get_symbols
+                    model, params, lm, ls, table, idx_dtype, get_symbols,
+                    pin=pin,
                 )
                 for i in range(S):
                     hashes[(i, k)] = h[i]

@@ -98,6 +98,31 @@ def test_stream_framing_roundtrip():
         )
 
 
+def test_layout_pin_is_bit_exact():
+    """`layout_pin` is a layout fence, never a value change: every dtype
+    the fused decode twin pins must round-trip bit-for-bit, including NaN
+    payloads, negative zeros, and odd (non-128-multiple) sizes."""
+    import jax.numpy as jnp
+
+    from stf_tpu.ans.lane_coder import layout_pin
+
+    rng = np.random.default_rng(3)
+    cases = []
+    f32 = rng.normal(size=(3, 7, 11, 5)).astype(np.float32)
+    f32[0, 0, 0, :3] = [np.nan, np.inf, -0.0]
+    cases.append(f32)
+    cases.append(f32.astype(jnp.bfloat16))
+    cases.append(rng.integers(-(2**31), 2**31, 999).astype(np.int32))
+    cases.append(rng.integers(0, 256, (13, 129)).astype(np.uint8))
+    cases.append(rng.integers(-128, 128, 1).astype(np.int8))
+    for arr in cases:
+        out = jax.jit(lambda a: layout_pin(a, interpret=True))(arr)
+        assert out.dtype == arr.dtype and out.shape == arr.shape
+        np.testing.assert_array_equal(
+            np.asarray(out).view(np.uint8), np.asarray(arr).view(np.uint8)
+        )
+
+
 def test_device_encoder_matches_host_encoder():
     """The Pallas reverse-rANS encode kernel must produce byte-identical
     streams to the host lane encoder, including escapes and padding."""
