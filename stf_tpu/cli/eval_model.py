@@ -183,6 +183,7 @@ def eval_model(
     backend="host",
     fused_encode=False,
     transform_chunks=1,
+    pipeline=1,
 ):
     if half and entropy_estimation:
         # estimation path has no coder: plain bf16 params are fine
@@ -204,6 +205,7 @@ def eval_model(
             model, params, coder=backend,
             dtype=jnp.bfloat16 if half else None,
             fused_encode=fused_encode,
+            pipeline=pipeline,
             analyze_chunks=transform_chunks,
             synth_chunks=transform_chunks,
         )
@@ -316,6 +318,16 @@ def setup_args():
         "ignored when the batch is not divisible)",
     )
     p.add_argument(
+        "--pipeline",
+        type=int,
+        default=1,
+        help="split the channel-AR walk into this many interleaved "
+        "sub-batches (overlaps host coding with device dispatches; part "
+        "of the LANE stream layout — decode needs the same value). The "
+        "bench ships the WACNN flagship at --pipeline 2 with "
+        "--fused-encode",
+    )
+    p.add_argument(
         "--profile-dir",
         type=str,
         default=None,
@@ -364,6 +376,7 @@ def main(argv=None):
                 backend=args.backend,
                 fused_encode=args.fused_encode,
                 transform_chunks=args.transform_chunks,
+                pipeline=args.pipeline,
             )
             for k, v in metrics.items():
                 results[k].append(v)

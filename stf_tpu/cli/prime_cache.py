@@ -93,6 +93,11 @@ def main(argv=None):
         help="prime the lax.map-chunked analyze/synthesize variants "
         "(mirror of eval_model --transform-chunks)",
     )
+    p.add_argument(
+        "--pipeline", type=int, default=1,
+        help="prime the K-sub-batch interleaved walk variants "
+        "(mirror of eval_model --pipeline)",
+    )
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -104,6 +109,7 @@ def main(argv=None):
     codec = Codec(
         model, params, dtype=jnp.bfloat16 if args.half else None,
         coder=args.backend, fused_encode=args.fused_encode,
+        pipeline=args.pipeline,
         analyze_chunks=args.transform_chunks,
         synth_chunks=args.transform_chunks,
     )

@@ -334,6 +334,45 @@ def test_eval_cli_batched(tiny_dataset, tiny_registry, tmp_path, capsys):
     assert len(os.listdir(tmp_path / "recon_b")) == 2
 
 
+def test_eval_cli_pipeline(tiny_dataset, tiny_registry, tmp_path, capsys):
+    """--pipeline 2 splits the channel-AR walk into interleaved
+    sub-batches (the bench's WACNN shipping config); metrics must match
+    the default single-sub walk exactly on the host backend (same
+    symbols, same per-image streams)."""
+    import jax
+
+    from stf_tpu.cli.eval_model import main as eval_main
+    from stf_tpu.training import create_train_state
+    from stf_tpu.zoo import models, save_checkpoint
+
+    model = models[tiny_registry]()
+    state = create_train_state(
+        model, jax.random.key(0), input_shape=(1, 64, 64, 3)
+    )
+    ckpt = str(tmp_path / "mp.msgpack")
+    save_checkpoint(ckpt, tiny_registry, state.params)
+
+    results = {}
+    for pipeline in ("1", "2"):
+        eval_main(
+            [
+                "-d", os.path.join(tiny_dataset, "test"),
+                "-a", tiny_registry,
+                "-p", ckpt,
+                "-r", str(tmp_path / f"recon_p{pipeline}"),
+                "--batch-size", "2",
+                "--pipeline", pipeline,
+            ]
+        )
+        results[pipeline] = json.loads(capsys.readouterr().out)["results"]
+    # host streams are per-image and pipeline-independent: bpp identical;
+    # reconstructions differ only by sub-batch-shape compilation noise
+    np.testing.assert_array_equal(results["2"]["bpp"], results["1"]["bpp"])
+    np.testing.assert_allclose(
+        results["2"]["psnr"], results["1"]["psnr"], rtol=1e-4
+    )
+
+
 def test_eval_cli_transform_chunks(tiny_dataset, tiny_registry, tmp_path,
                                    capsys):
     """--transform-chunks runs analyze/synthesize as lax.map chunks inside
