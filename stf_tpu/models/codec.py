@@ -216,6 +216,7 @@ class Codec:
         coder: str = "host",
         device_encode: bool = False,
         fused_encode: bool = False,
+        fused_verify: bool = True,
         pack_drain: Optional[bool] = None,
         analyze_chunks: int = 1,
         synth_chunks: int = 1,
@@ -262,6 +263,19 @@ class Codec:
         # overflow (or a huge batch) transparently retries with the
         # per-slice anchor.
         self.fused_encode = bool(fused_encode) and coder == "lane"
+        # fused_verify=True (default) decode-checks the FIRST fused-encoded
+        # stream of each compiled configuration before compress() returns
+        # it: the fused encode twin is a different XLA executable than both
+        # decoders, and a layout/tiling divergence can make it emit streams
+        # NO decoder reproduces (observed: the Swin flagship at pipeline=2,
+        # PERF.md round 3) — without this check that is only discovered at
+        # decompress time, when the original image may be gone. On
+        # mismatch compress() warns, permanently drops to the per-slice
+        # encode anchor, and re-encodes. One extra decompress per
+        # (shape, sub-batching) config; later calls skip it. The decode-
+        # side hash guard stays on regardless (this check is a strong
+        # canary, not a proof — index flips are data-dependent).
+        self.fused_verify = bool(fused_verify)
         # lane decompress runs the ENTIRE walk (hyper -> S slices x decode
         # kernel -> synthesis) as ONE jitted program — one dispatch instead
         # of ~2 per slice. Correctness: the fused program is a different
@@ -1001,10 +1015,35 @@ class Codec:
         z_strings = self.eb_coder.compress_symbols(z_sym)
         if probe is not None:
             probe("z_rans", None)
-        return {
+        out = {
             "strings": [[y_string], z_strings],
             "shape": (z_sd[0], z_sd[1]),
         }
+
+        # First-stream-per-config self-check: prove the stream decodes
+        # before handing it out (see fused_verify in __init__). Uses the
+        # normal decompress path — fused decoder first, per-slice fallback
+        # on hash mismatch — so "verified" means this codec configuration
+        # can actually reconstruct what it just emitted.
+        vkey = ("enc_ok", tuple(subs), x_dev.shape)
+        if self.fused_verify and not self._lane_fused_cache.get(vkey):
+            try:
+                self.decompress(out["strings"], out["shape"])
+            except ValueError:
+                warnings.warn(
+                    "fused encode self-check FAILED: neither decoder "
+                    "derives the fused encoder's scale indexes for this "
+                    "configuration (layout/tiling divergence) — disabling "
+                    "fused encode for this codec and re-encoding with the "
+                    "per-slice anchor",
+                    RuntimeWarning,
+                )
+                self.fused_encode = False
+                return None
+            self._lane_fused_cache[vkey] = True
+            if probe is not None:
+                probe("fused_verify", None)
+        return out
 
     def _lane_rv(self, idx, words_dev, side_dev, states_dev):
         """Decode one lane-rANS segment on device: (idx-shaped int32

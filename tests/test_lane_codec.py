@@ -321,6 +321,64 @@ class TestLaneCodec:
         with pytest.raises(ValueError, match="hash mismatch"):
             fused.decompress(bad, enc["shape"])
 
+    def test_fused_verify_decode_checks_first_stream_only(
+        self, small_model_state
+    ):
+        """fused_verify (default on) must decode-check the FIRST fused
+        stream of each configuration inside compress() — and only the
+        first: later same-config calls skip the extra decompress."""
+        model, state = small_model_state
+        fused = Codec(model, state.params, coder="lane", fused_encode=True)
+        calls = []
+        orig = fused.decompress
+        fused.decompress = lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1]
+        x = np.asarray(jax.random.uniform(jax.random.key(41), (2, 64, 64, 3)))
+        fused.compress(x)
+        assert len(calls) == 1  # verification decompress ran
+        fused.compress(x)
+        assert len(calls) == 1  # config already verified — no re-check
+        assert fused.fused_encode
+
+        unchecked = Codec(
+            model, state.params, coder="lane", fused_encode=True,
+            fused_verify=False,
+        )
+        calls2 = []
+        orig2 = unchecked.decompress
+        unchecked.decompress = (
+            lambda *a, **kw: (calls2.append(1), orig2(*a, **kw))[1]
+        )
+        unchecked.compress(x)
+        assert not calls2  # opt-out: no verification decompress
+
+    def test_fused_verify_failure_disables_fused_encode(
+        self, small_model_state
+    ):
+        """If the self-check decompress raises (stream no decoder can
+        reproduce — the Swin-at-pipeline-2 failure mode), compress() must
+        warn, permanently fall back to the per-slice encode anchor, and
+        return a stream that decodes."""
+        model, state = small_model_state
+        lane = Codec(model, state.params, coder="lane")
+        fused = Codec(model, state.params, coder="lane", fused_encode=True)
+        orig = fused.decompress
+
+        def broken(*a, **kw):
+            raise ValueError("lockstep hash mismatch (simulated)")
+
+        fused.decompress = broken
+        x = np.asarray(jax.random.uniform(jax.random.key(42), (2, 64, 64, 3)))
+        with pytest.warns(RuntimeWarning, match="self-check FAILED"):
+            enc = fused.compress(x)
+        fused.decompress = orig
+        assert not fused.fused_encode  # permanently dropped to per-slice
+        assert not (enc["strings"][0][0][0] & 0x01)  # per-slice header flag
+        # the emitted stream is the per-slice anchor's — byte-identical to
+        # a never-fused codec's, and it round-trips
+        assert enc["strings"][0][0] == lane.compress(x)["strings"][0][0]
+        dec = fused.decompress(enc["strings"], enc["shape"])
+        assert np.all(np.isfinite(np.asarray(dec["x_hat"], np.float32)))
+
     def test_per_slice_verify_retries_fused_decoder(self, small_model_state):
         """A fused-encoded stream whose per-slice verify fails must retry
         the fused DECODER (the executable the stream's hashes anchor to)
