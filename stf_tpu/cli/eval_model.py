@@ -68,17 +68,24 @@ def unpad(x: np.ndarray, box):
     return x[:, top : top + h, left : left + w, :]
 
 
-def inference(codec: Codec, xs, warm_shapes: set):
+def inference(codec: Codec, xs, warm_shapes: set, batch=None, boxes=None,
+              prefetch=None):
     """Encode+decode a batch of same-shape images (xs: list of (1,H,W,3));
     returns per-image metric dicts and reconstructions. Batching the
     channel-AR walk amortizes program dispatches across the batch (see
-    PERF.md); per-image times are the batch time divided by the batch."""
-    padded, boxes = zip(*[pad_to_multiple(x) for x in xs])
-    batch = np.concatenate(padded, axis=0)
+    PERF.md); per-image times are the batch time divided by the batch.
+
+    `batch`/`boxes` let the caller hand in a pre-padded (possibly already
+    device-resident) batch; `prefetch` is forwarded to the timed
+    `codec.compress` so the NEXT batch's H2D upload rides the link while
+    this batch's walk runs (see Codec.compress)."""
+    if batch is None:
+        padded, boxes = zip(*[pad_to_multiple(x) for x in xs])
+        batch = np.concatenate(padded, axis=0)
     n = batch.shape[0]
 
     cold_enc = cold_dec = None
-    if batch.shape not in warm_shapes:
+    if tuple(batch.shape) not in warm_shapes:
         # Warm-up: compile all shape-specialized programs outside the warm
         # timer; its own (cold) time is reported separately so first-use
         # latency is visible instead of hidden (the persistent compile
@@ -89,10 +96,10 @@ def inference(codec: Codec, xs, warm_shapes: set):
         start = time.time()
         codec.decompress(out_enc["strings"], out_enc["shape"])
         cold_dec = (time.time() - start) / n
-        warm_shapes.add(batch.shape)
+        warm_shapes.add(tuple(batch.shape))
 
     start = time.time()
-    out_enc = codec.compress(batch)
+    out_enc = codec.compress(batch, prefetch=prefetch)
     enc_time = (time.time() - start) / n
 
     start = time.time()
@@ -244,23 +251,42 @@ def eval_model(
         return {k: v / len(filepaths) for k, v in metrics.items()}
 
     # group same-shape images so the codec's batched walk amortizes
-    # dispatches (Kodak is uniform; CLIC buckets by shape)
+    # dispatches (Kodak is uniform; CLIC buckets by shape), then flatten
+    # into a batch list so batch i+1's H2D upload can ride the link while
+    # batch i's walk runs (codec prefetch hook; steady-state pipelining)
     groups = collections.defaultdict(list)
     for f in filepaths:
         x = load_image(f)[None]
         groups[x.shape].append((f, x))
+    batches = []
     for shape, items in groups.items():
         for lo in range(0, len(items), batch_size):
             chunk = items[lo : lo + batch_size]
-            if verbose:
-                for f, _ in chunk:
-                    print(f, file=sys.stderr)
-            results = inference(codec, [x for _, x in chunk], warm_shapes)
-            for (f, _), (rv, x_hat) in zip(chunk, results):
-                save_recon(f, x_hat)
-                for k, v in rv.items():
-                    metrics[k] += v
-                    counts[k] += 1
+            padded, boxes = zip(*[pad_to_multiple(x) for _, x in chunk])
+            batches.append((chunk, np.concatenate(padded, 0), boxes))
+    carried = None  # device buffer the previous iteration prefetched
+    for i, (chunk, batch_np, boxes) in enumerate(batches):
+        if verbose:
+            for f, _ in chunk:
+                print(f, file=sys.stderr)
+        nxt = batches[i + 1][1] if i + 1 < len(batches) else None
+        holder: dict = {}
+        hook = (
+            (lambda n_=nxt: holder.update(x=jax.device_put(n_)))
+            if nxt is not None
+            else None
+        )
+        x_in = carried if carried is not None else batch_np
+        results = inference(
+            codec, [x for _, x in chunk], warm_shapes,
+            batch=x_in, boxes=boxes, prefetch=hook,
+        )
+        carried = holder.get("x")
+        for (f, _), (rv, x_hat) in zip(chunk, results):
+            save_recon(f, x_hat)
+            for k, v in rv.items():
+                metrics[k] += v
+                counts[k] += 1
 
     return {k: v / counts[k] for k, v in metrics.items()}
 

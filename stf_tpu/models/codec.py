@@ -22,6 +22,8 @@ Equivalent surface to the reference's `model.update()` / `model.compress()`
 """
 
 import functools
+import struct
+import warnings
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
@@ -830,8 +832,6 @@ class Codec:
             if probe is not None:
                 probe("fused_walk_synth", x_hat)
             return x_hat
-        import warnings
-
         K = len(subs)
         bad = [
             (j // K, j % K)
@@ -929,7 +929,8 @@ class Codec:
         self._lane_fused_cache[key] = fn
         return fn
 
-    def _compress_fused(self, x, probe=None) -> Optional[Dict[str, Any]]:
+    def _compress_fused(self, x, probe=None,
+                        prefetch=None) -> Optional[Dict[str, Any]]:
         """One-dispatch encode walk (lane coder only). Returns the
         compressed dict, or None when this input can't ride the fused
         path (oversized slices for the resident encode kernel, or a rare
@@ -981,6 +982,11 @@ class Codec:
         )
         self._start_transfer(z_sym8)
         self._start_transfer(meta)
+        if prefetch is not None:
+            # the entire encode is now in flight; the host is about to
+            # block on the meta D2H for the walk's duration — let the
+            # caller start the NEXT batch's H2D upload on the idle link
+            prefetch()
         if probe is not None:
             probe("upload", x_dev)
 
@@ -1025,11 +1031,12 @@ class Codec:
         # normal decompress path — fused decoder first, per-slice fallback
         # on hash mismatch — so "verified" means this codec configuration
         # can actually reconstruct what it just emitted.
-        vkey = ("enc_ok", tuple(subs), x_dev.shape)
+        vkey = ("enc_ok", tuple(subs), x_dev.shape,
+                x_dev.dtype == jnp.uint8)
         if self.fused_verify and not self._lane_fused_cache.get(vkey):
             try:
                 self.decompress(out["strings"], out["shape"])
-            except ValueError:
+            except (ValueError, IndexError, KeyError, struct.error):
                 warnings.warn(
                     "fused encode self-check FAILED: neither decoder "
                     "derives the fused encoder's scale indexes for this "
@@ -1244,15 +1251,33 @@ class Codec:
 
     # -- compress ------------------------------------------------------------
 
-    def compress(self, x, probe=None) -> Dict[str, Any]:
+    def compress(self, x, probe=None, prefetch=None) -> Dict[str, Any]:
         """x: NHWC float array in [0,1]. Returns strings + z spatial shape.
 
         `probe(name, arr_or_None)` is an optional instrumentation hook
         called at phase boundaries (upload/analyze/hyper/walk/drain/rans).
         A probe that synchronizes on `arr` serializes the pipeline — use
-        it for attribution runs, never inside the timed path."""
+        it for attribution runs, never inside the timed path.
+
+        `prefetch()` is called EXACTLY ONCE per compress(), at the point
+        where this call's device work is fully enqueued and the host is
+        about to block on device->host results — the window where the
+        H2D link sits idle for the walk's duration. Callers pipelining
+        batches issue the next batch's `jax.device_put` there; upload
+        order is not part of the stream layout, so streams stay
+        byte-identical."""
+        if prefetch is not None:
+            fired = []
+
+            def prefetch(_inner=prefetch, _fired=fired):
+                # once-guard: a fused-path overflow fallback reruns the
+                # per-slice walk, which must not re-trigger the upload
+                if not _fired:
+                    _fired.append(True)
+                    _inner()
+
         if self.fused_encode:
-            out = self._compress_fused(x, probe=probe)
+            out = self._compress_fused(x, probe=probe, prefetch=prefetch)
             if out is not None:
                 return out
             if probe is not None:
@@ -1324,6 +1349,8 @@ class Codec:
 
             self._walk_slices(lm, ls, get_symbols)
 
+        if prefetch is not None:
+            prefetch()
         if probe is not None:
             ent = pending[max(pending)]
             probe("walk", ent[2] if ent[0] == "dev" else ent[1])

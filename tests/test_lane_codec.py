@@ -528,6 +528,56 @@ class TestLaneCodec:
         )
 
 
+class TestCompressPrefetch:
+    """`compress(prefetch=...)` — the batch-pipelining hook (bench.py /
+    eval CLI issue the NEXT batch's device_put there while the walk
+    runs). Contract: fires exactly once per compress() — including
+    across a fused->per-slice fallback — and never changes the bytes."""
+
+    def test_fires_once_and_streams_identical(self, small_model_state):
+        model, state = small_model_state
+        for fused in (False, True):
+            codec = Codec(
+                model, state.params, coder="lane", fused_encode=fused
+            )
+            x = np.asarray(
+                jax.random.uniform(jax.random.key(3), (1, 64, 64, 3))
+            )
+            plain = codec.compress(x)
+            calls = []
+            enc = codec.compress(x, prefetch=lambda: calls.append(1))
+            assert len(calls) == 1
+            assert enc["strings"][0][0] == plain["strings"][0][0]
+
+    def test_fires_once_across_fused_fallback(self, small_model_state):
+        from stf_tpu.models.codec import (
+            _LANE_FLAG_FUSED_ENC,
+            _LaneSideOverflow,
+        )
+
+        model, state = small_model_state
+        codec = Codec(model, state.params, coder="lane", fused_encode=True)
+        x = np.asarray(
+            jax.random.uniform(jax.random.key(4), (1, 64, 64, 3))
+        )
+        orig = codec._build_lane_stream
+
+        def overflow_fused_only(pending, flags=0):
+            if flags & _LANE_FLAG_FUSED_ENC:
+                raise _LaneSideOverflow("simulated fused-side overflow")
+            return orig(pending, flags=flags)
+
+        codec._build_lane_stream = overflow_fused_only
+        calls = []
+        enc = codec.compress(x, prefetch=lambda: calls.append(1))
+        codec._build_lane_stream = orig
+        # the per-slice rerun must NOT re-trigger the upload hook
+        assert len(calls) == 1
+        assert not (enc["strings"][0][0][0] & 0x01)  # per-slice header
+        dec = codec.decompress(enc["strings"], enc["shape"])
+        assert np.all(np.isfinite(np.asarray(dec["x_hat"], np.float32)))
+
+
 class TestUpdateScaleTable:
     """`Codec.update(scale_table=...)` — the reference's table-sweep
     protocol (`GaussianConditional.update_scale_table`,
