@@ -191,6 +191,7 @@ def eval_model(
     fused_encode=False,
     transform_chunks=1,
     pipeline=1,
+    prefetch=False,
 ):
     if half and entropy_estimation:
         # estimation path has no coder: plain bf16 params are fine
@@ -273,7 +274,7 @@ def eval_model(
         holder: dict = {}
         hook = (
             (lambda n_=nxt: holder.update(x=jax.device_put(n_)))
-            if nxt is not None
+            if prefetch and nxt is not None
             else None
         )
         x_in = carried if carried is not None else batch_np
@@ -354,6 +355,15 @@ def setup_args():
         "--fused-encode",
     )
     p.add_argument(
+        "--prefetch",
+        action="store_true",
+        help="upload batch i+1 to the device while batch i codes "
+        "(steady-state pipelining via the codec prefetch hook). Big win "
+        "on direct-attached hardware; leave OFF through a tunneled "
+        "link, where a concurrent bulk upload starves every other "
+        "transfer (measured 100x decode slowdown — PERF.md round 4)",
+    )
+    p.add_argument(
         "--profile-dir",
         type=str,
         default=None,
@@ -403,6 +413,7 @@ def main(argv=None):
                 fused_encode=args.fused_encode,
                 transform_chunks=args.transform_chunks,
                 pipeline=args.pipeline,
+                prefetch=args.prefetch,
             )
             for k, v in metrics.items():
                 results[k].append(v)
