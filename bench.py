@@ -255,14 +255,16 @@ def bench_model(model_name: str, attribution: bool = True,
     # reference-contract CPU coder (STF_BENCH_CODER=host to A/B).
     coder = knob("STF_BENCH_CODER", "lane")
     # STF_BENCH_FUSED=1 rides the one-dispatch fused encode walk;
+    # "split" keeps standalone analyze/hyper + one walk+encode program;
     # STF_BENCH_PIPELINE=K splits the channel-AR walk into K sub-batches
-    # (inside the single fused dispatch when FUSED=1). cnn ships fused
-    # p2 — the fastest measured (encode 1.02 s vs 1.34 s unfused, decode
-    # matching at 0.44 s once the decode twin's islands were layout-
-    # pinned, PERF.md round 3); stf stays unfused p1 pending its own A/B.
-    fused_enc = knob(
-        "STF_BENCH_FUSED", {"cnn": "1", "stf": "0"}[model_name]
-    ) == "1"
+    # (inside the single fused dispatch when fused). cnn ships FULL
+    # fusion p2 — fastest measured (encode 1.02 s vs 1.34 s unfused,
+    # PERF.md round 3). stf ships SPLIT fusion p1: its fully-fused walk
+    # diverges from the decoders (self-check demotes it anyway), and the
+    # split tier measured 9.95 img/s = 2.99x vs 2.18x unfused (r4 A/B).
+    fused_enc = {"0": False, "1": True, "split": "split"}[knob(
+        "STF_BENCH_FUSED", {"cnn": "1", "stf": "split"}[model_name]
+    )]
     pipeline = int(knob(
         "STF_BENCH_PIPELINE", {"cnn": "2", "stf": "1"}[model_name]
     ))

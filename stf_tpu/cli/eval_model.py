@@ -329,11 +329,16 @@ def setup_args():
     )
     p.add_argument(
         "--fused-encode",
-        action="store_true",
-        help="lane backend only: trace the whole encode walk (analyze -> "
-        "hyper -> channel-AR -> rANS encode kernels) into ONE program; "
-        "streams are byte-identical (header flag aside), oversized or "
-        "overflowing inputs fall back to the per-slice walk",
+        nargs="?",
+        const="1",
+        default="0",
+        choices=("0", "1", "split"),
+        help="lane backend only: trace the encode walk into ONE program "
+        "(1 = full fusion incl. analyze/hyper; split = standalone "
+        "transforms + one walk+encode program, the tier a failed "
+        "full-fusion self-check demotes to). Streams are byte-identical "
+        "(header flag aside); oversized or overflowing inputs fall back "
+        "to the per-slice walk",
     )
     p.add_argument(
         "--transform-chunks",
@@ -410,7 +415,9 @@ def main(argv=None):
                 half=args.half,
                 batch_size=args.batch_size,
                 backend=args.backend,
-                fused_encode=args.fused_encode,
+                fused_encode={
+                    "0": False, "1": True, "split": "split"
+                }[args.fused_encode],
                 transform_chunks=args.transform_chunks,
                 pipeline=args.pipeline,
                 prefetch=args.prefetch,

@@ -84,9 +84,14 @@ def main(argv=None):
         "decompress program)",
     )
     p.add_argument(
-        "--fused-encode", action="store_true",
-        help="prime the one-dispatch fused encode program "
-        "(mirror of eval_model --fused-encode)",
+        "--fused-encode",
+        nargs="?",
+        const="1",
+        default="0",
+        choices=("0", "1", "split"),
+        help="prime the fused encode program (1 = full fusion, split = "
+        "standalone transforms + walk+encode program; mirror of "
+        "eval_model --fused-encode)",
     )
     p.add_argument(
         "--transform-chunks", type=int, default=1,
@@ -108,7 +113,10 @@ def main(argv=None):
     model, params = load_checkpoint(args.path, args.architecture)
     codec = Codec(
         model, params, dtype=jnp.bfloat16 if args.half else None,
-        coder=args.backend, fused_encode=args.fused_encode,
+        coder=args.backend,
+        fused_encode={"0": False, "1": True, "split": "split"}[
+            args.fused_encode
+        ],
         pipeline=args.pipeline,
         analyze_chunks=args.transform_chunks,
         synth_chunks=args.transform_chunks,

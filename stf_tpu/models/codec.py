@@ -144,18 +144,26 @@ def _traced_walk(model, params, lm, ls, table, idx_dtype, get_symbols,
     but `rv` is barriered anyway to keep each island's *producers* from
     fusing into it asymmetrically.
 
-    `pin` (optional, used by the fused DECODE twin only) additionally
-    routes every island operand through `lane_coder.layout_pin` — a
-    bit-exact Pallas identity copy that forces the operand into a
-    canonical buffer layout. Barriers alone are layout-transparent:
-    XLA's layout assignment reaches through them, and the decode twin's
-    different surroundings (its `rv` is an in-program kernel output, its
-    y_hats are program outputs) gave its islands differently-laid-out
-    operands, which re-tiled the bf16 matmuls and flipped scale indexes
-    at pipeline>1 bench shapes. The ENCODE twin takes no pin: it is the
-    stream's lockstep anchor and is measured bit-aligned with the
-    per-slice executables (whose operands cross real program boundaries
-    — exactly the property `layout_pin` emulates in-program)."""
+    `pin` (optional; used by the fused DECODE twin and the SPLIT fused
+    encode tier) additionally routes every island operand through
+    `lane_coder.layout_pin` — a bit-exact Pallas identity copy that
+    forces the operand into a canonical buffer layout. Barriers alone
+    are layout-transparent: XLA's layout assignment reaches through
+    them, and the decode twin's different surroundings (its `rv` is an
+    in-program kernel output, its y_hats are program outputs) gave its
+    islands differently-laid-out operands, which re-tiled the bf16
+    matmuls and flipped scale indexes at pipeline>1 bench shapes.
+
+    The FULL-fusion encode twin takes NO pin — this is measured, not
+    principled (r3+r4, TPU): unpinned it is bit-aligned with the
+    per-slice anchor for the WACNN family at every pipeline; adding the
+    decode twin's pins FLIPPED its slice-5 indexes, and pins did not
+    rescue the Swin family either (its fully-fused walk diverges either
+    way; Swin ships the "split" tier, whose walk program takes lm/ls/y
+    as real program inputs and matches with pins, like the decode
+    twin). Island alignment across differently-surrounded executables
+    is config-dependent — which is why every first stream is
+    self-checked and demoted full -> split -> per-slice on mismatch."""
     ob = jax.lax.optimization_barrier
     p = pin if pin is not None else (lambda a: a)
     S = model.num_slices
@@ -235,6 +243,14 @@ class Codec:
             only the source of the symbol tensor differs.
         The z-latent always uses the host factorized coder (one small
         stream, no AR dependency).
+
+        `fused_encode` accepts False / True / "split": True fuses the
+        entire encode (analyze -> hyper -> walk -> encode kernels) into
+        ONE program; "split" keeps analyze/z/hyper as the standalone
+        per-slice executables and fuses only the walk+encode (the tier a
+        failed full-fusion self-check automatically demotes to — the
+        Swin family's fully-fused walk diverges from the decoders on
+        TPU, PERF.md round 4, so its bench config starts there).
         """
         if coder not in ("host", "lane"):
             raise ValueError(f"unknown entropy coder {coder!r}")
@@ -265,6 +281,14 @@ class Codec:
         # overflow (or a huge batch) transparently retries with the
         # per-slice anchor.
         self.fused_encode = bool(fused_encode) and coder == "lane"
+        # "full" = whole encode in one program; "split" = canonical
+        # standalone analyze/hyper + one walk+encode program (the tier a
+        # failed full-fusion self-check demotes to; constructor-selectable
+        # so a family known to need it — Swin, PERF.md r4 — skips the
+        # first-stream detour)
+        self._fused_mode = (
+            "split" if str(fused_encode) == "split" else "full"
+        )
         # fused_verify=True (default) decode-checks the FIRST fused-encoded
         # stream of each compiled configuration before compress() returns
         # it: the fused encode twin is a different XLA executable than both
@@ -883,7 +907,16 @@ class Codec:
                 z, medians
             )
             y_shape = (y.shape[1], y.shape[2])
-            # hyper island: mirrors the decode twin's barriers exactly
+            # hyper island: mirrors the decode twin's barriers — but NOT
+            # its layout pins. Measured (r4): this unpinned twin is
+            # bit-aligned with the per-slice anchor for the WACNN family
+            # at every pipeline; ADDING the decode twin's pins flipped
+            # its slice-5 indexes, and did not fix the Swin family
+            # either (Swin's fully-fused walk diverges pinned or not —
+            # its bench config uses the "split" tier instead, which
+            # keeps analyze/hyper at real program boundaries). Island
+            # alignment is config-dependent, which is exactly why every
+            # first stream is self-checked and demoted on mismatch.
             lm_all, ls_all = jax.lax.optimization_barrier(model.apply(
                 {"params": params},
                 jax.lax.optimization_barrier(z_hat),
@@ -929,13 +962,88 @@ class Codec:
         self._lane_fused_cache[key] = fn
         return fn
 
+    def _fused_encode_split_build(self, subs, y_shape):
+        """Build (or fetch) the SPLIT-transform fused encode program:
+        (y, lm, ls) -> (encode-kernel banks, packed meta). Unlike the
+        full-fusion program (`_fused_encode_build`), analyze / z-quantize
+        / hyper run as the SAME standalone executables the per-slice
+        anchor uses — so lm/ls/y are bit-identical to the per-slice walk
+        by construction, and this program's structure (program inputs ->
+        pinned walk islands -> lane kernels) mirrors the fused DECODE
+        twin, which is measured to match the per-slice anchor. Used as
+        the automatic middle tier when full fusion's self-check fails
+        (the Swin walk islands diverge inside the fully-fused module even
+        with pinned operands — measured r4, every pipeline)."""
+        from ..ans import lane_coder as lc
+
+        key = ("enc_split", tuple(subs), tuple(y_shape))
+        fn = self._lane_fused_cache.get(key)
+        if fn is not None:
+            return fn
+
+        model = self.model
+        S = model.num_slices
+        table = jnp.asarray(self.scale_table)
+        idx_dtype = self._idx_dtype
+        interpret = jax.default_backend() != "tpu"
+        pad_sym = int(self.lane_tables.offsets[0])
+
+        def fn(params, y, lm_all, ls_all, z_overflow, cdf, lens, offs):
+            pin = functools.partial(lc.layout_pin, interpret=interpret)
+            bounds = model.slice_boundaries(y.shape[-1])
+            banks: Dict = {}
+            hashes: Dict = {}
+            for k, (lo, hi) in enumerate(subs):
+                lm, ls = lm_all[lo:hi], ls_all[lo:hi]
+                y_slices = jnp.split(y[lo:hi], bounds, axis=-1)
+
+                def get_symbols(i, mu, idx_q, _k=k, _ys=y_slices):
+                    q32 = jnp.round(_ys[i] - mu).astype(jnp.int32)
+                    banks[(i, _k)] = lc.lane_encode_device(
+                        q32, idx_q, cdf, lens, offs,
+                        int(np.prod(_ys[i].shape)), pad_sym,
+                        interpret=interpret,
+                    )
+                    return q32
+
+                _, h = _traced_walk(
+                    model, params, lm, ls, table, idx_dtype, get_symbols,
+                    need_y_hat=False, pin=pin,
+                )
+                for i in range(S):
+                    hashes[(i, k)] = h[i]
+            keys = sorted(banks)
+            meta = jnp.concatenate(
+                [banks[key][3].reshape(-1) for key in keys]
+                + [jax.lax.bitcast_convert_type(
+                    jnp.stack([hashes[key] for key in keys]), jnp.int32
+                )]
+                + [z_overflow.astype(jnp.int32).reshape(1)]
+            )
+            return [banks[key][:3] for key in keys], meta
+
+        fn = jax.jit(fn)
+        self._lane_fused_cache[key] = fn
+        return fn
+
     def _compress_fused(self, x, probe=None,
                         prefetch=None) -> Optional[Dict[str, Any]]:
-        """One-dispatch encode walk (lane coder only). Returns the
-        compressed dict, or None when this input can't ride the fused
-        path (oversized slices for the resident encode kernel, or a rare
+        """Fused encode walk (lane coder only). Returns the compressed
+        dict, or None when this input can't ride the fused path
+        (oversized slices for the resident encode kernel, or a rare
         side-channel/escape overflow — the caller then reruns the
-        per-slice walk, whose host fallback handles anything)."""
+        per-slice walk, whose host fallback handles anything).
+
+        Two tiers, selected by `self._fused_mode`:
+          * "full" — ONE dispatch for the entire encode (analyze ->
+            hyper -> walk -> encode kernels, `_fused_encode_build`).
+          * "split" — analyze / z-quantize / hyper as the standalone
+            per-slice executables + ONE walk+encode dispatch
+            (`_fused_encode_split_build`).
+        A failed first-stream self-check demotes full -> split -> off,
+        re-encoding each time, so a configuration whose fully-fused walk
+        diverges (Swin, measured r4) still gets most of the dispatch
+        savings instead of dropping to the per-slice walk."""
         from ..ans import lane_coder as lc
 
         # VMEM/HBM guard mirrors the per-slice device_encode path: the
@@ -974,12 +1082,27 @@ class Codec:
         # mismatch on every pipeline>1 stream.
         on_host = not isinstance(x, jax.Array)
         x_dev = jax.device_put(x) if on_host else x
-        fn = self._fused_encode_build(
-            tuple(subs), x_dev.dtype == jnp.uint8, x_dev.shape
-        )
-        z_sym32, z_sym8, out_banks, meta = fn(
-            self.params, x_dev, *self._lane_dev_tables
-        )
+        mode = self._fused_mode
+        if mode == "full":
+            fn = self._fused_encode_build(
+                tuple(subs), x_dev.dtype == jnp.uint8, x_dev.shape
+            )
+            z_sym32, z_sym8, out_banks, meta = fn(
+                self.params, x_dev, *self._lane_dev_tables
+            )
+        else:  # "split": canonical transform boundaries + one walk program
+            y, z = self._analyze(self.params, x_dev)
+            z_sym32, z_sym8, z_overflow_dev, z_hat = self._z_quantize(
+                z, jnp.asarray(self.eb_coder.medians)
+            )
+            lm_all, ls_all = self._hyper(
+                self.params, z_hat, (y.shape[1], y.shape[2])
+            )
+            fn = self._fused_encode_split_build(tuple(subs), tuple(y.shape))
+            out_banks, meta = fn(
+                self.params, y, lm_all, ls_all, z_overflow_dev,
+                *self._lane_dev_tables,
+            )
         self._start_transfer(z_sym8)
         self._start_transfer(meta)
         if prefetch is not None:
@@ -1031,12 +1154,25 @@ class Codec:
         # normal decompress path — fused decoder first, per-slice fallback
         # on hash mismatch — so "verified" means this codec configuration
         # can actually reconstruct what it just emitted.
-        vkey = ("enc_ok", tuple(subs), x_dev.shape,
+        vkey = ("enc_ok", mode, tuple(subs), x_dev.shape,
                 x_dev.dtype == jnp.uint8)
         if self.fused_verify and not self._lane_fused_cache.get(vkey):
             try:
                 self.decompress(out["strings"], out["shape"])
             except (ValueError, IndexError, KeyError, struct.error):
+                if mode == "full":
+                    warnings.warn(
+                        "fused encode self-check FAILED: neither decoder "
+                        "derives the fully-fused encoder's scale indexes "
+                        "for this configuration (layout/tiling "
+                        "divergence) — demoting to the split-transform "
+                        "fused encode and re-encoding",
+                        RuntimeWarning,
+                    )
+                    self._fused_mode = "split"
+                    return self._compress_fused(
+                        x_dev, probe=probe, prefetch=prefetch
+                    )
                 warnings.warn(
                     "fused encode self-check FAILED: neither decoder "
                     "derives the fused encoder's scale indexes for this "

@@ -307,6 +307,74 @@ class TestLaneCodec:
             atol=1e-5, rtol=1e-5,
         )
 
+    def test_split_fused_encode_stream_identical(self, small_model_state):
+        """fused_encode="split" runs analyze/z/hyper as the standalone
+        per-slice executables and only the walk+encode as one program
+        (the tier a failed full-fusion self-check demotes to). Streams
+        byte-identical to the per-slice encoder's (modulo header flag)
+        and accepted by both decoder paths."""
+        import warnings
+
+        model, state = small_model_state
+        lane = Codec(model, state.params, coder="lane")
+        split = Codec(
+            model, state.params, coder="lane", fused_encode="split"
+        )
+        assert split.fused_encode and split._fused_mode == "split"
+        x = np.asarray(jax.random.uniform(jax.random.key(51), (2, 64, 64, 3)))
+        enc = lane.compress(x)
+        enc_s = split.compress(x)
+        assert split._fused_mode == "split"  # self-check passed, no demote
+        assert enc_s["strings"][1] == enc["strings"][1]
+        y, y_s = enc["strings"][0][0], enc_s["strings"][0][0]
+        assert y_s[0] & 0x01 and not (y[0] & 0x01)
+        assert y_s[1:] == y[1:]
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            dec_fused = split.decompress(enc_s["strings"], enc_s["shape"])
+        split.fused = False
+        dec_walk = split.decompress(enc_s["strings"], enc_s["shape"])
+        np.testing.assert_allclose(
+            np.asarray(dec_fused["x_hat"], np.float32),
+            np.asarray(dec_walk["x_hat"], np.float32),
+            atol=1e-5, rtol=1e-5,
+        )
+
+    def test_fused_verify_failure_demotes_full_to_split(
+        self, small_model_state
+    ):
+        """A full-fusion self-check failure must demote to the SPLIT
+        fused tier (not straight to per-slice) and re-encode; the split
+        stream then passes its own self-check and ships."""
+        model, state = small_model_state
+        fused = Codec(model, state.params, coder="lane", fused_encode=True)
+        x = np.asarray(jax.random.uniform(jax.random.key(52), (2, 64, 64, 3)))
+        orig = fused.decompress
+        state_holder = {"broken": True}
+
+        def decompress_full_broken(strings, shape, **kw):
+            # fail only while the codec is still in full mode — the
+            # split retry's verify must succeed
+            if state_holder["broken"] and fused._fused_mode == "full":
+                raise ValueError("lockstep hash mismatch (simulated)")
+            return orig(strings, shape, **kw)
+
+        fused.decompress = decompress_full_broken
+        with pytest.warns(RuntimeWarning, match="demoting to the split"):
+            enc = fused.compress(x)
+        fused.decompress = orig
+        assert fused.fused_encode  # NOT disabled
+        assert fused._fused_mode == "split"
+        assert enc["strings"][0][0][0] & 0x01  # still fused-encoded
+        # byte-identical to a from-scratch split codec's stream
+        split = Codec(
+            model, state.params, coder="lane", fused_encode="split"
+        )
+        assert enc["strings"][0][0] == split.compress(x)["strings"][0][0]
+        dec = fused.decompress(enc["strings"], enc["shape"])
+        assert np.all(np.isfinite(np.asarray(dec["x_hat"], np.float32)))
+
     def test_fused_encode_bad_hash_fails_loudly(self, small_model_state):
         """A fused-encoded stream whose hashes don't match what the
         per-slice decoder derives must raise, not desync silently."""
