@@ -93,13 +93,22 @@ def ms_ssim(
     for i in range(levels):
         s, cs = _ssim_components(x, y, win, data_range)
         if i < levels - 1:
-            mcs.append(jnp.maximum(cs, 0.0))
+            mcs.append(cs)
             x = jax.lax.reduce_window(
                 x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             ) / 4.0
             y = jax.lax.reduce_window(
                 y, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             ) / 4.0
-    vals = jnp.stack(mcs + [jnp.maximum(s, 0.0)])
+    # Floor at a small POSITIVE epsilon, not 0: ms-ssim doubles as the
+    # ms-ssim training loss (reference train.py:39-59 variant), and
+    # d/dv[v^w] = w*v^(w-1) is INFINITE at v=0 for w<1 — a relu floor
+    # NaNs the whole model on the first step whose cs term clips
+    # (routine at random init, where x_hat is uncorrelated with x;
+    # observed r4: ms-ssim training NaN'd by step 25). At 1e-4 the
+    # gradient stays bounded (~350 before the trainer's global-norm
+    # clip) and the metric is unchanged for any sane input — a value
+    # below 1e-4 means the images are unrelated anyway.
+    vals = jnp.maximum(jnp.stack(mcs + [s]), 1e-4)
     w = jnp.asarray(weights)
     return jnp.prod(vals ** w)
