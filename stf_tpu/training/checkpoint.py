@@ -54,7 +54,11 @@ def _host_params(params):
                 from jax.experimental import multihost_utils
 
                 gathered = multihost_utils.process_allgather
-            return np.asarray(gathered(x))
+            # tiled=True: reassemble the global value (a cross-process
+            # shard gather REQUIRES it — untiled mode raises on global
+            # non-fully-addressable arrays; caught by the 2-process TP
+            # test, never reachable single-process)
+            return np.asarray(gathered(x, tiled=True))
         return np.asarray(x)
 
     return jax.tree_util.tree_map(fetch, params)
@@ -149,20 +153,40 @@ class OrbaxCheckpointer:
                         meta["model"], host_params,
                     )
 
-    def restore(self, state) -> Tuple[Any, Dict]:
-        """Restore the newest step from `orbax/` into `state`'s structure
-        (template arrays keep their shardings: shards land where the mesh
-        places them, never gathered through one host)."""
+    def restore(self, state, shardings=None) -> Tuple[Any, Dict]:
+        """Restore the newest step from `orbax/` into `state`'s structure.
+
+        `shardings` (optional): a pytree of NamedShardings matching
+        `_state_tree(state)`. When given, each array restores DIRECTLY
+        onto its mesh placement (each process reads only the shards it
+        owns — the collective mirror of the collective save). Without
+        it, leaves restore with the template arrays' own (typically
+        single-device, committed) shardings — which a tensor-parallel
+        jit then REJECTS as a sharding mismatch, so model-parallel
+        resumes must pass it (caught by the 2-process TP test)."""
         step = self._latest.latest_step()
         if step is None:
             raise FileNotFoundError(
                 f"no orbax checkpoint under {self.root}/{self.LATEST}"
             )
         ocp = self._ocp
+        import jax
+
+        template = _state_tree(state)
+        if shardings is not None:
+            template = jax.tree_util.tree_map(
+                lambda a, s: (
+                    jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s)
+                    if hasattr(a, "shape") and hasattr(a, "dtype")
+                    else a
+                ),
+                template,
+                shardings,
+            )
         restored = self._latest.restore(
             step,
             args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(_state_tree(state)),
+                state=ocp.args.StandardRestore(template),
                 meta=ocp.args.JsonRestore(),
             ),
         )

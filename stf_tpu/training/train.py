@@ -192,6 +192,28 @@ def main(argv=None):
         else None
     )
 
+    repl_sh, data_sh = data_parallel_shardings(mesh)
+    # --tp > 1: params + optimizer moments shard over the `model` axis.
+    # Computed BEFORE any restore: an orbax resume must restore each
+    # array directly onto its mesh placement (a fresh single-device
+    # state is uncommitted and jit reshards it silently, but RESTORED
+    # arrays are committed — a tp jit rejects them, and cross-process
+    # shards could not be assembled through one host anyway).
+    param_sh = (
+        tensor_parallel_shardings(state.params, mesh)
+        if args.tp > 1
+        else repl_sh
+    )
+    state_tree_sh = (
+        tensor_parallel_shardings(
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step},
+            mesh,
+        )
+        if args.tp > 1
+        else None
+    )
+
     last_epoch = 0
     best_loss = float("inf")
     if args.checkpoint and os.path.exists(args.checkpoint):
@@ -205,7 +227,7 @@ def main(argv=None):
                 ckpt_backend if same_dir
                 else OrbaxCheckpointer(args.checkpoint, read_only=True)
             )
-            state, meta = rb.restore(state)
+            state, meta = rb.restore(state, shardings=state_tree_sh)
             if rb is not ckpt_backend:
                 rb.close()
         else:
@@ -215,16 +237,6 @@ def main(argv=None):
         best_loss = meta.get("best_loss", meta.get("loss", best_loss))
         if main_proc:
             print(f"resumed from {args.checkpoint} at epoch {last_epoch}")
-
-    repl_sh, data_sh = data_parallel_shardings(mesh)
-    # --tp > 1: params + optimizer moments shard over the `model` axis
-    # (jit resharding places the restored/initial state; the msgpack save
-    # gathers through serialization, the orbax backend saves shard-wise)
-    param_sh = (
-        tensor_parallel_shardings(state.params, mesh)
-        if args.tp > 1
-        else repl_sh
-    )
     p_train_step = make_parallel_train_step(
         make_train_step(model, args.lmbda, args.metric), mesh,
         state=state if args.tp > 1 else None,
@@ -269,10 +281,17 @@ def main(argv=None):
                         f"Bpp: {m['bpp_loss']:.3f} | Aux: {m['aux_loss']:.1f}"
                     )
 
-            # per-epoch eval (all hosts compute; host 0 logs/saves)
+            # per-epoch eval (all hosts compute; host 0 logs/saves).
+            # --test-batch-size (reference test_dataloader,
+            # train.py:311-318) — was parsed but unused until r4, so the
+            # test loop silently ran at the train batch size. Batches
+            # stay equal-sized across processes (SPMD assembly needs it);
+            # a partial final batch is dropped, so keep the test-set size
+            # divisible by test-batch-size for full-set eval.
+            local_test_batch = max(args.test_batch_size // n_proc, 1)
             totals, count = {}, 0
             for batch in test_ds.batches(
-                local_batch, epoch=0, num_workers=args.num_workers,
+                local_test_batch, epoch=0, num_workers=args.num_workers,
                 shard=(jax.process_index(), n_proc),
             ):
                 m = p_eval_step(state.params, put_global(batch))
@@ -285,6 +304,13 @@ def main(argv=None):
             # so the is_best decision the collective orbax save depends on
             # is identical everywhere, and the loss covers the full test
             # set.
+            if count == 0 and main_proc:
+                print(
+                    "WARNING: test set yielded no full batches "
+                    f"(test images per process < {local_test_batch}); "
+                    "test loss is inf and no best checkpoint will be kept",
+                    file=sys.stderr,
+                )
             test_loss = totals.get("loss", float("inf")) / max(count, 1)
             if main_proc:
                 print(
