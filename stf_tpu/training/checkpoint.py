@@ -97,17 +97,34 @@ class OrbaxCheckpointer:
         self.root = os.path.abspath(save_dir)
         if not self.read_only:
             os.makedirs(self.root, exist_ok=True)
+        # The two managers run CONCURRENT async saves of the SAME step
+        # (epoch N lands in both `orbax/` and `orbax_best/` whenever
+        # is_best fires). Orbax derives its multihost barrier keys from
+        # the step number alone, so without distinct barrier namespaces
+        # the two commits collide on >=2 processes: one rank crashes with
+        # "Barrier _async_write_complete.<step> is already ongoing" and
+        # the survivor deadlocks at the next sync (reproduced by
+        # tests/test_multiprocess.py::test_two_process_tensor_parallel_orbax).
+        # barrier_sync_key_prefix scopes each manager's barriers.
         self._latest = ocp.CheckpointManager(
             os.path.join(self.root, self.LATEST),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=2, read_only=self.read_only,
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="stf_latest",
+                ),
             ),
         )
         self._best = None
         if not self.read_only:
             self._best = ocp.CheckpointManager(
                 os.path.join(self.root, self.BEST),
-                options=ocp.CheckpointManagerOptions(max_to_keep=1),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1,
+                    multiprocessing_options=ocp.options.MultiprocessingOptions(
+                        barrier_sync_key_prefix="stf_best",
+                    ),
+                ),
             )
 
     def _composite_save(self, state, meta: Dict):

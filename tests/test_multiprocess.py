@@ -248,12 +248,24 @@ def test_two_process_tensor_parallel_orbax(tp_dataset, tmp_path):
     with open(sp_dir / "params.msgpack", "rb") as f:
         sp_params = serialization.from_bytes(state.params, f.read())
 
-    def close(a, b):
-        np.testing.assert_allclose(
-            np.asarray(a, np.float32), np.asarray(b, np.float32),
-            rtol=2e-4, atol=1e-6,
-        )
+    # Both runs ended after the same 2 epochs on the same global batches.
+    # Partitioning differences reorder fp reductions, and Adam NORMALIZES
+    # steps to ~±lr regardless of gradient magnitude — so an element whose
+    # true gradient is near zero can take opposite-signed steps in the two
+    # runs (measured: isolated elements drift ~1.5e-4 after 2 steps of
+    # lr=1e-4). Element-wise rtol therefore can't be tight; instead:
+    # every element must stay within the 2-sign-flipped-steps ceiling
+    # (2 * 2 * lr), and the FRACTION of elements that moved more than one
+    # step must be tiny — wrong wiring (wrong batch/restore/resume epoch)
+    # flips a large fraction, not isolated near-zero-grad elements. Exact
+    # math parity is pinned by the 2-process DP loss-equality test.
+    counts = {"mismatch": 0, "total": 0}
 
-    # both runs ended after the same 2 epochs on the same global batches;
-    # shard-count differences only reorder fp reductions
-    jax.tree_util.tree_map(close, sp_params, sidecar)
+    def acc(a, b):
+        d = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))
+        assert d.max() < 5e-4, f"param drift {d.max()} exceeds 2-step ceiling"
+        counts["mismatch"] += int((d > 1.2e-4).sum())
+        counts["total"] += d.size
+
+    jax.tree_util.tree_map(acc, sp_params, sidecar)
+    assert counts["mismatch"] / counts["total"] < 0.005, counts
