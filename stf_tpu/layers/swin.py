@@ -24,12 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .conv import Conv, PixelShuffle, gelu
-from .win_attention import (
-    WindowAttention,
-    shifted_window_mask,
-    window_partition,
-    window_reverse,
-)
+from .win_attention import WindowAttention, shifted_window_mask
 
 
 class Mlp(nn.Module):
@@ -93,12 +88,10 @@ class SwinTransformerBlock(nn.Module):
         else:
             mask = None
 
-        windows = window_partition(x, ws)
-        attn_out = WindowAttention(
+        x = WindowAttention(
             dim=self.dim, window_size=(ws, ws), num_heads=self.num_heads,
             name="attn",
-        )(windows, mask=mask)
-        x = window_reverse(attn_out, ws, Hp, Wp)
+        )(x, mask=mask)
 
         if ss > 0:
             x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))

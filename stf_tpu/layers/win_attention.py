@@ -81,7 +81,16 @@ def shifted_window_mask(H: int, W: int, window_size: int, shift_size: int):
 
 
 class WindowAttention(nn.Module):
-    """W-MSA over already-partitioned windows: x is (B*nW, N, C).
+    """W-MSA over an NHWC map whose H/W are window multiples: x is
+    (B, H, W, C), returned in the same shape.
+
+    TPU-first grid layout: the window/token/head axes come from
+    contiguity-preserving reshapes of the map itself, so no window
+    partition/reverse or qkv head transposes ever materialize in HBM —
+    the only data movements are the attention dots themselves (measured:
+    the flattened-window form spent several full activation-sized HBM
+    passes per block on 5-D/6-D transposes, capping the Swin analyze at
+    ~1% MFU on a v5e).
 
     With `use_pallas=True` the attention core (scores + bias + mask +
     softmax + weighted sum) runs as one fused Pallas kernel in VMEM
@@ -97,18 +106,20 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        from .pallas_attention import window_attention_core
-
-        B_, N, C = x.shape
+        B, H, W, C = x.shape
+        wh, ww = self.window_size
+        P, Q = H // wh, W // ww
         nh = self.num_heads
-        head_dim = self.dim // nh
-        scale = self.qk_scale or head_dim ** -0.5
+        hd = self.dim // nh
+        scale = self.qk_scale or hd ** -0.5
 
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
-        qkv = qkv.reshape(B_, N, 3, nh, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
+        # (B, P, i, Q, j, 3, h, d): every split keeps row-major contiguity
+        qkv = qkv.reshape(B, P, wh, Q, ww, 3, nh, hd)
+        q = qkv[..., 0, :, :]
+        k = qkv[..., 1, :, :]
+        v = qkv[..., 2, :, :]  # (B, P, i, Q, j, h, d)
 
-        wh, ww = self.window_size
         bias_table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(stddev=0.02),
@@ -118,19 +129,55 @@ class WindowAttention(nn.Module):
         rel_bias = bias_table[idx].reshape(wh * ww, wh * ww, nh)
         rel_bias = rel_bias.transpose(2, 0, 1)  # (nh, N, N)
 
+        if self.use_pallas:
+            out = self._pallas_core(q, k, v, rel_bias, mask, scale)
+        else:
+            # (h, i, j, k, l) token-pair bias
+            bias_g = rel_bias.reshape(nh, wh, ww, wh, ww)
+            attn = jnp.einsum(
+                "bpiqjhd,bpkqlhd->bpqhijkl", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
+            attn = attn + bias_g[None, None, None]
+            if mask is not None:
+                # (nW, N, N) -> (P, Q, i, j, k, l); window order is
+                # (P, Q) row-major by construction (shifted_window_mask)
+                m = jnp.asarray(mask).reshape(P, Q, wh, ww, wh, ww)
+                attn = attn + m[None, :, :, None]
+            attn = attn.reshape(B, P, Q, nh, wh, ww, wh * ww)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = attn.reshape(B, P, Q, nh, wh, ww, wh, ww)
+            out = jnp.einsum(
+                "bpqhijkl,bpkqlhd->bpiqjhd", attn, v,
+                preferred_element_type=jnp.float32,
+            )
+        out = out.reshape(B, H, W, C)
+        return nn.Dense(self.dim, name="proj")(out)
+
+    def _pallas_core(self, q, k, v, rel_bias, mask, scale):
+        """Opt-in fused-kernel path: flatten grid -> (B*nW, nh, N, hd)."""
+        from .pallas_attention import window_attention_core
+
+        B, P, wh, Q, ww, nh, hd = q.shape
+        N = wh * ww
+
+        def flat(t):  # (B,P,i,Q,j,h,d) -> (B*nW, nh, N, hd)
+            t = t.transpose(0, 1, 3, 5, 2, 4, 6)
+            return t.reshape(B * P * Q, nh, N, hd)
+
         if mask is not None:
             nW = mask.shape[0]
             mask_full = jnp.broadcast_to(
-                jnp.asarray(mask)[None], (B_ // nW, nW, N, N)
-            ).reshape(B_, N, N)
+                jnp.asarray(mask)[None], (B, nW, N, N)
+            ).reshape(B * nW, N, N)
         else:
             mask_full = None
-
-        x = window_attention_core(
-            q, k, v, rel_bias, mask_full, scale, use_pallas=self.use_pallas
+        out = window_attention_core(
+            flat(q), flat(k), flat(v), rel_bias, mask_full, scale,
+            use_pallas=True,
         )
-        x = x.transpose(0, 2, 1, 3).reshape(B_, N, C)
-        return nn.Dense(self.dim, name="proj")(x)
+        out = out.reshape(B, P, Q, nh, wh, ww, hd)
+        return out.transpose(0, 1, 4, 2, 5, 3, 6)  # -> (B,P,i,Q,j,h,d)
 
 
 class WinBasedAttention(nn.Module):
@@ -155,14 +202,12 @@ class WinBasedAttention(nn.Module):
         else:
             mask = None
 
-        x_windows = window_partition(x, ws)
-        attn_windows = WindowAttention(
+        x = WindowAttention(
             dim=self.dim,
             window_size=(ws, ws),
             num_heads=self.num_heads,
             name="attn",
-        )(x_windows, mask=mask)
-        x = window_reverse(attn_windows, ws, H, W)
+        )(x, mask=mask)
 
         if ss > 0:
             x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))

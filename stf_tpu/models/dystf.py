@@ -38,12 +38,7 @@ from ..layers.swin import (
     PatchMerging,
     SwinTransformerBlock,
 )
-from ..layers.win_attention import (
-    WindowAttention,
-    shifted_window_mask,
-    window_partition,
-    window_reverse,
-)
+from ..layers.win_attention import WindowAttention, shifted_window_mask
 from .base import ChannelARModel, ConvGeluStack, SliceTransform
 from .stf import STFHyperSynthesis
 
@@ -124,11 +119,9 @@ class AdaSwinTransformerBlock(nn.Module):
             x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
         else:
             mask = None
-        windows = window_partition(x, ws)
-        attn_out = WindowAttention(
+        x = WindowAttention(
             dim=C, window_size=(ws, ws), num_heads=self.num_heads, name="attn"
-        )(windows, mask=mask)
-        x = window_reverse(attn_out, ws, Hp, Wp)
+        )(x, mask=mask)
         if ss > 0:
             x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
         if pad_b or pad_r:

@@ -56,8 +56,9 @@ def test_module_flag_matches_default():
     from stf_tpu.layers.win_attention import WindowAttention
     from stf_tpu.layers import pallas_attention
 
+    # NHWC map, 2x3 windows of 4x4 (the module's grid-layout contract)
     x = jnp.asarray(
-        np.random.default_rng(2).standard_normal((6, 16, 32)), jnp.float32
+        np.random.default_rng(2).standard_normal((1, 8, 12, 32)), jnp.float32
     )
     ref_mod = WindowAttention(dim=32, window_size=(4, 4), num_heads=4)
     variables = ref_mod.init(jax.random.key(0), x)
