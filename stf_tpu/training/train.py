@@ -81,7 +81,10 @@ def save_training_checkpoint(
     with open(path, "wb") as f:
         f.write(blob)
     meta = {"epoch": epoch, "loss": float(loss), "best_loss": float(best_loss),
-            "model": args.model, "lmbda": args.lmbda, "metric": args.metric}
+            "model": args.model, "lmbda": args.lmbda,
+            # dytrain/train_gd argv have no --metric (matching the
+            # reference CLIs); their distortion is fixed-recipe mse
+            "metric": getattr(args, "metric", "mse")}
     with open(path + ".json", "w") as f:
         json.dump(meta, f)
     # CLI-compatible params-only checkpoint

@@ -443,7 +443,16 @@ def main(argv=None):
         if stopped:
             break
 
-    prune_export(state.params, args.save_dir, model_kwargs={})
+    # record the model's real widths so load_pruned_checkpoint rebuilds
+    # the deps-model at the right ungated sizes (a registry model need not
+    # be the full-size default)
+    prune_export(
+        state.params, args.save_dir,
+        model_kwargs={
+            "N": model.N, "M": model.M, "num_slices": model.num_slices,
+            "max_support_slices": model.max_support_slices,
+        },
+    )
     return state
 
 
