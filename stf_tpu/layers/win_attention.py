@@ -56,13 +56,18 @@ def relative_position_index(wh: int, ww: int) -> np.ndarray:
     return rel.sum(-1)
 
 
-def shifted_window_mask(H: int, W: int, window_size: int, shift_size: int):
-    """Additive (0 / -100) attention mask for SW-MSA, shape (nW, N, N).
+def shifted_window_region_labels(
+    H: int, W: int, window_size: int, shift_size: int
+) -> np.ndarray:
+    """Per-token shift-region labels for SW-MSA, shape (nW, N) int32.
 
-    Built exactly as the reference does on the fly (`win_attention.py:159-
-    179`), but with NumPy at trace time since H/W are static under jit.
-    """
-    img_mask = np.zeros((1, H, W, 1), np.float32)
+    The reference builds a pairwise (nW, N, N) additive mask of
+    0 / -100 from these same region ids on the fly (`win_attention.py:
+    159-179`); keeping the per-token labels instead lets the penalty be
+    fused as an elementwise label compare over the score tensor — no
+    (N, N)-sized mask is ever materialized, which is what makes packed
+    multi-window attention (see WindowAttention) affordable."""
+    img_mask = np.zeros((H, W), np.int32)
     slices = (
         slice(0, -window_size),
         slice(-window_size, -shift_size),
@@ -71,30 +76,64 @@ def shifted_window_mask(H: int, W: int, window_size: int, shift_size: int):
     cnt = 0
     for h in slices:
         for w in slices:
-            img_mask[:, h, w, :] = cnt
+            img_mask[h, w] = cnt
             cnt += 1
     ws = window_size
-    mw = img_mask.reshape(1, H // ws, ws, W // ws, ws, 1)
-    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
-    attn_mask = mw[:, None, :] - mw[:, :, None]
-    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+    mw = img_mask.reshape(H // ws, ws, W // ws, ws)
+    return mw.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+
+
+def shifted_window_mask(H: int, W: int, window_size: int, shift_size: int):
+    """Additive (0 / -100) attention mask for SW-MSA, shape (nW, N, N).
+
+    Pairwise form of `shifted_window_region_labels` — the exact tensor
+    the reference builds (`win_attention.py:159-179`); used by the
+    Pallas kernel path and tests."""
+    lab = shifted_window_region_labels(H, W, window_size, shift_size)
+    diff = lab[:, None, :] != lab[:, :, None]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+def _pack_group(n_windows: int, N: int, cap: int = 128) -> int:
+    """Largest divisor G of n_windows with G*N <= cap tokens per pack."""
+    G = max(cap // N, 1)
+    while G > 1 and n_windows % G:
+        G -= 1
+    return G
 
 
 class WindowAttention(nn.Module):
     """W-MSA over an NHWC map whose H/W are window multiples: x is
-    (B, H, W, C), returned in the same shape.
+    (B, H, W, C), returned in the same shape. `labels` (optional) is the
+    (nW, N) int32 per-token shift-region table from
+    `shifted_window_region_labels`.
 
-    TPU-first grid layout: the window/token/head axes come from
-    contiguity-preserving reshapes of the map itself, so no window
-    partition/reverse or qkv head transposes ever materialize in HBM —
-    the only data movements are the attention dots themselves (measured:
-    the flattened-window form spent several full activation-sized HBM
-    passes per block on 5-D/6-D transposes, capping the Swin analyze at
-    ~1% MFU on a v5e).
+    TPU-first packed-window core, shaped by measurement
+    (tools/attn_microbench.py, tools/attn_layout_bench.py on a v5e):
 
-    With `use_pallas=True` the attention core (scores + bias + mask +
-    softmax + weighted sum) runs as one fused Pallas kernel in VMEM
-    (layers/pallas_attention.py); the qkv/out projections remain XLA GEMMs.
+    * windows are PACKED: attention over G consecutive windows (G*N =
+      128 tokens) runs as ONE dense dot with an additive penalty
+      forbidding cross-window pairs — exp(-1e5) underflows to exact 0,
+      so the result equals per-window softmax to f32 precision. Without
+      packing the dots are (N=16, hd=16) batched stamps the 128x128 MXU
+      cannot tile.
+    * the penalty (window id + shift-region mismatch) is an elementwise
+      compare of two small per-token label vectors fused into the score
+      pass, and the rel-pos bias tiles to (nh, G*N, G*N) — nothing
+      (N, N)-shaped per window ever lands in HBM. The shift-region part
+      keeps the reference's -100 semantics (`win_attention.py:159-179`).
+    * every materialized layout keeps the CHANNEL axis minor-most: the
+      only transposes are whole-(3C)-row window partition/un-partition
+      copies (full DMA bandwidth), while any layout with head_dim minor
+      measured ~29 GB/s. The dots carry nh as a middle batch dim; XLA's
+      internal dot normalization still pays hd-minor copies it won't
+      surrender (measured core floor ~24 ms at stage-0 geometry vs
+      ~31 ms for explicit hd-minor packing), which is what bounds the
+      Swin analyze MFU on this backend — see PERF.md round 5.
+
+    With `use_pallas=True` the attention core runs as the fused Pallas
+    kernel in VMEM (layers/pallas_attention.py) on unpacked windows; the
+    qkv/out projections remain XLA GEMMs.
     """
 
     dim: int
@@ -105,20 +144,29 @@ class WindowAttention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, labels=None):
         B, H, W, C = x.shape
         wh, ww = self.window_size
         P, Q = H // wh, W // ww
+        N = wh * ww
+        nW = P * Q
         nh = self.num_heads
         hd = self.dim // nh
         scale = self.qk_scale or hd ** -0.5
 
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
-        # (B, P, i, Q, j, 3, h, d): every split keeps row-major contiguity
-        qkv = qkv.reshape(B, P, wh, Q, ww, 3, nh, hd)
-        q = qkv[..., 0, :, :]
-        k = qkv[..., 1, :, :]
-        v = qkv[..., 2, :, :]  # (B, P, i, Q, j, h, d)
+        # window partition with the channel axis left minor-most: a 6-D
+        # transpose over whole (3C)-rows DMAs at full bandwidth, while any
+        # layout that makes head_dim (16-40 elements) the minor axis
+        # copies at ~29 GB/s (measured, tools/attn_microbench.py). The
+        # dots carry nh as a middle batch dim instead.
+        G = _pack_group(nW, N)
+        qkv = qkv.reshape(B, P, wh, Q, ww, 3 * C)
+        qkv = qkv.transpose(0, 1, 3, 2, 4, 5)
+        qkv = qkv.reshape(B * nW // G, G * N, 3, nh, hd)
+        q = qkv[:, :, 0]
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2]  # (B*nW/G, G*N, nh, hd)
 
         bias_table = self.param(
             "relative_position_bias_table",
@@ -126,47 +174,76 @@ class WindowAttention(nn.Module):
             ((2 * wh - 1) * (2 * ww - 1), nh),
         )
         idx = relative_position_index(wh, ww).reshape(-1)
-        rel_bias = bias_table[idx].reshape(wh * ww, wh * ww, nh)
+        rel_bias = bias_table[idx].reshape(N, N, nh)
         rel_bias = rel_bias.transpose(2, 0, 1)  # (nh, N, N)
 
         if self.use_pallas:
-            out = self._pallas_core(q, k, v, rel_bias, mask, scale)
+            out = self._pallas_core(q, k, v, rel_bias, labels, scale,
+                                    B, nW, G)
         else:
-            # (h, i, j, k, l) token-pair bias
-            bias_g = rel_bias.reshape(nh, wh, ww, wh, ww)
             attn = jnp.einsum(
-                "bpiqjhd,bpkqlhd->bpqhijkl", q * scale, k,
+                "gnhd,gmhd->ghnm", q * scale, k,
                 preferred_element_type=jnp.float32,
-            )
-            attn = attn + bias_g[None, None, None]
-            if mask is not None:
-                # (nW, N, N) -> (P, Q, i, j, k, l); window order is
-                # (P, Q) row-major by construction (shifted_window_mask)
-                m = jnp.asarray(mask).reshape(P, Q, wh, ww, wh, ww)
-                attn = attn + m[None, :, :, None]
-            attn = attn.reshape(B, P, Q, nh, wh, ww, wh * ww)
+            )  # (B*nW/G, nh, GN, GN)
+            # bias on every (window, window) block; off-diagonal blocks
+            # are dead under the window-id penalty, so tiling is exact
+            bias_t = jnp.tile(rel_bias, (1, G, G)) if G > 1 else rel_bias
+            attn = attn + bias_t[None]
+            pen = self._penalty(nW, N, G, labels)
+            if pen is not None:
+                attn = (
+                    attn.reshape(B, nW // G, nh, G * N, G * N)
+                    + pen[None, :, None]
+                ).reshape(attn.shape)
             attn = jax.nn.softmax(attn, axis=-1)
-            attn = attn.reshape(B, P, Q, nh, wh, ww, wh, ww)
             out = jnp.einsum(
-                "bpqhijkl,bpkqlhd->bpiqjhd", attn, v,
+                "ghnm,gmhd->gnhd", attn, v,
                 preferred_element_type=jnp.float32,
-            )
+            ).astype(x.dtype)  # (B*nW/G, GN, nh, hd) — channels minor again
+        # un-partition (C stays minor: full-bandwidth copy)
+        out = out.reshape(B, P, Q, wh, ww, C)
+        out = out.transpose(0, 1, 3, 2, 4, 5)
         out = out.reshape(B, H, W, C)
         return nn.Dense(self.dim, name="proj")(out)
 
-    def _pallas_core(self, q, k, v, rel_bias, mask, scale):
-        """Opt-in fused-kernel path: flatten grid -> (B*nW, nh, N, hd)."""
+    @staticmethod
+    def _penalty(nW, N, G, labels):
+        """(nW/G, GN, GN) additive penalty, or None when unnecessary:
+        -1e5 for cross-window pairs, -100 for cross-shift-region pairs
+        within a window (the reference's mask value)."""
+        if G == 1 and labels is None:
+            return None
+        win = np.repeat(np.arange(nW, dtype=np.int32), N).reshape(nW, N)
+        win = jnp.asarray(win.reshape(nW // G, G * N))
+        pen = jnp.where(
+            win[:, None, :] != win[:, :, None], np.float32(-1e5),
+            np.float32(0),
+        )
+        if labels is not None:
+            lab = jnp.asarray(
+                np.asarray(labels, np.int32).reshape(nW // G, G * N)
+            )
+            pen = pen + jnp.where(
+                lab[:, None, :] != lab[:, :, None], np.float32(-100),
+                np.float32(0),
+            )
+        return pen
+
+    def _pallas_core(self, q, k, v, rel_bias, labels, scale, B, nW, G):
+        """Opt-in fused-kernel path on unpacked windows."""
         from .pallas_attention import window_attention_core
 
-        B, P, wh, Q, ww, nh, hd = q.shape
-        N = wh * ww
+        _, GN, nh, hd = q.shape
+        N = GN // G
 
-        def flat(t):  # (B,P,i,Q,j,h,d) -> (B*nW, nh, N, hd)
-            t = t.transpose(0, 1, 3, 5, 2, 4, 6)
-            return t.reshape(B * P * Q, nh, N, hd)
+        def flat(t):  # (B*nW/G, GN, nh, d) -> (B*nW, nh, N, d)
+            return t.reshape(B * nW, N, nh, hd).transpose(0, 2, 1, 3)
 
-        if mask is not None:
-            nW = mask.shape[0]
+        if labels is not None:
+            lab = np.asarray(labels, np.int32)
+            mask = np.where(
+                lab[:, None, :] != lab[:, :, None], -100.0, 0.0
+            ).astype(np.float32)
             mask_full = jnp.broadcast_to(
                 jnp.asarray(mask)[None], (B, nW, N, N)
             ).reshape(B * nW, N, N)
@@ -176,8 +253,9 @@ class WindowAttention(nn.Module):
             flat(q), flat(k), flat(v), rel_bias, mask_full, scale,
             use_pallas=True,
         )
-        out = out.reshape(B, P, Q, nh, wh, ww, hd)
-        return out.transpose(0, 1, 4, 2, 5, 3, 6)  # -> (B,P,i,Q,j,h,d)
+        # (B*nW, nh, N, hd) -> (B*nW/G, GN, nh, hd) to share the caller's
+        # un-partition reshape
+        return out.transpose(0, 2, 1, 3).reshape(B * nW // G, GN, nh, hd)
 
 
 class WinBasedAttention(nn.Module):
@@ -197,17 +275,17 @@ class WinBasedAttention(nn.Module):
         shortcut = x
 
         if ss > 0:
-            mask = shifted_window_mask(H, W, ws, ss)
+            labels = shifted_window_region_labels(H, W, ws, ss)
             x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
         else:
-            mask = None
+            labels = None
 
         x = WindowAttention(
             dim=self.dim,
             window_size=(ws, ws),
             num_heads=self.num_heads,
             name="attn",
-        )(x, mask=mask)
+        )(x, labels=labels)
 
         if ss > 0:
             x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))

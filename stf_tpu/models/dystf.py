@@ -38,7 +38,7 @@ from ..layers.swin import (
     PatchMerging,
     SwinTransformerBlock,
 )
-from ..layers.win_attention import WindowAttention, shifted_window_mask
+from ..layers.win_attention import WindowAttention, shifted_window_region_labels
 from .base import ChannelARModel, ConvGeluStack, SliceTransform
 from .stf import STFHyperSynthesis
 
@@ -115,13 +115,13 @@ class AdaSwinTransformerBlock(nn.Module):
         Hp, Wp = H + pad_b, W + pad_r
 
         if ss > 0:
-            mask = shifted_window_mask(Hp, Wp, ws, ss)
+            labels = shifted_window_region_labels(Hp, Wp, ws, ss)
             x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
         else:
-            mask = None
+            labels = None
         x = WindowAttention(
             dim=C, window_size=(ws, ws), num_heads=self.num_heads, name="attn"
-        )(x, mask=mask)
+        )(x, labels=labels)
         if ss > 0:
             x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
         if pad_b or pad_r:
