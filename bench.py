@@ -39,12 +39,16 @@ import numpy as np
 
 # reference enc+dec s/img on Kodak (README.md:85-86)
 REFERENCE_SEC_PER_IMG = {"cnn": 0.12 + 0.12, "stf": 0.15 + 0.15}
-# prelude lambda per model: chosen so the 300-step operating point lands
-# in the published table row's bpp band (~0.65 bpp) instead of the
-# under-weighted ~0.3 bpp a lambda=0.0035 prelude gives the WACNN —
-# stream-byte-dependent phases (drain, rANS, lane H2D) are then benched
-# at reference stream weight.
-PRELUDE_LMBDA = {"cnn": 0.013, "stf": 0.0018}
+# prelude lambda per model: chosen so the prelude's operating point lands
+# in the published table row's bpp band (~0.65 bpp) — stream-byte-
+# dependent phases (drain, rANS, lane H2D) are then benched at reference
+# stream weight. r5: re-pointed for the 3000-step preludes (the r4
+# lambdas were tuned for 300 steps; as the entropy model matures, bpp at
+# fixed lambda falls ~3x — measured cnn l0.013: 0.70 bpp @300 -> 0.22
+# @3000 — so the longer preludes need ~4x the rate weight to stay in
+# band). cnn keeps l=0.013 (its 3000-step point lands ~0.2 bpp — below
+# band; a re-point to ~0.05 needs a ~17 min retrain, queued in STATUS).
+PRELUDE_LMBDA = {"cnn": 0.013, "stf": 0.008}
 # Frozen full-size PSNR corridors (dB) at each flagship's shipping
 # operating point, measured on the deterministic warm-up batch with the
 # cached prelude checkpoint. A bench run outside its corridor FAILS —
@@ -53,7 +57,11 @@ PRELUDE_LMBDA = {"cnn": 0.013, "stf": 0.0018}
 # r5: preludes lengthened 300 -> 3000 steps (tools/train_prelude.py) so
 # the benched streams carry near-published quality statistics, not a
 # barely-trained model's (VERDICT r4 weak #4).
-PSNR_CORRIDOR = {"cnn": (23.8, 24.8), "stf": (15.7, 16.7)}  # r4: 24.28 / 16.23
+# PROVISIONAL post-3000-step-prelude bands (tile-probe cnn 29.43 dB /
+# stf ~17 dB; full-size measurement in flight) — re-freeze to +-0.5 dB
+# around the measured full-size value before the corridor is trusted
+# as a regression gate again.
+PSNR_CORRIDOR = {"cnn": (27.0, 31.5), "stf": (14.5, 20.0)}  # r4: 24.28 / 16.23
 MODEL = os.environ.get("STF_BENCH_MODEL", "cnn")
 if MODEL not in REFERENCE_SEC_PER_IMG:
     raise SystemExit(
@@ -134,7 +142,7 @@ def trained_state(model, model_name: str, lmbda: float):
 
     step_fn = jax.jit(make_train_step(model, lmbda=lmbda))
     t0 = time.time()
-    for step in range(TRAIN_STEPS):
+    for step in range(TRAIN_STEPS[model_name]):
         batch = smooth_batch(8, 256, 256, seed=step)
         state, logs = step_fn(state, jnp.asarray(batch), jax.random.key(step))
         if step % 100 == 0:
